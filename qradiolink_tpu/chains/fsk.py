@@ -1,0 +1,263 @@
+"""FSK-family digital chains: 4FSK, 2FSK, GMSK (FM-discriminator variants).
+
+4FSK mirrors reference src/gr/gr_demod_4fsk.cpp (sps=5 config: 1 Msps ->
+resample 1/50 -> 20 ksps, symbol rate 2 ksym/s, 10 samp/sym) and
+gr_mod_4fsk.cpp; 2FSK mirrors gr_demod_2fsk.cpp / gr_mod_2fsk.cpp (FM
+variant); GMSK mirrors gr_demod_gmsk.cpp / gr_mod_gmsk.cpp.
+
+Common structure RX: resampler -> channel LP -> quadrature demod -> RRC (or
+symbol LP) shaping -> M&M symbol sync -> soft bits -> streaming Viterbi ->
+descrambler. The 2FSK/GMSK binary chains decode TWO bit-pairing phases in
+parallel (delay-diversity, reference gr_demod_bpsk.cpp:97-103 pattern) by
+batching the Viterbi over a leading axis of size 2.
+
+TX: bytes -> unpack -> scramble -> conv encode -> (pack to symbols, Gray
+map) -> pulse shape -> frequency modulator -> interpolate to 1 Msps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from qradiolink_tpu.core import Block, Sequencer, init_states
+from qradiolink_tpu.ops import firdes
+from qradiolink_tpu.ops.fir import FirFilter
+from qradiolink_tpu.ops.resample import RationalResampler
+from qradiolink_tpu.ops.analog import QuadratureDemod, FrequencyMod
+from qradiolink_tpu.ops.spectrum import rssi_dbm
+from qradiolink_tpu.sync.symbol_sync import SymbolSync
+from qradiolink_tpu.chains.digital_common import (
+    TxFecHead, RxFecTail, bytes_to_bits, pack_dibits)
+
+_4FSK_LEVELS = (-1.5, -0.5, 0.5, 1.5)
+_4FSK_MAP = (0, 1, 3, 2)  # Gray map, reference gr_mod_4fsk.cpp map
+
+
+class Fsk4Demod(Block):
+    """4FSK FM-discriminator demod, sps=5 configuration (4FSK_2K).
+
+    1 Msps -> 20 ksps, 2000 sym/s (10 samp/sym), 2 soft bits/symbol from
+    phase_mod(pi/2) projection, CCSDS tail. Outputs: bits, constellation
+    tap, rssi.
+    """
+    SAMP_RATE = 1_000_000
+    TARGET_RATE = 20_000
+    SYMBOL_RATE = 2_000
+
+    def __init__(self, filter_width: float = 4000.0, lead_shape: tuple = ()):
+        ls = tuple(lead_shape)
+        fs = self.TARGET_RATE
+        self.sps = fs // self.SYMBOL_RATE  # 10
+        self.resamp = RationalResampler(
+            1, 50, taps=firdes.low_pass(1.0, self.SAMP_RATE, 10_000.0,
+                                        10_000.0, firdes.WIN_BLACKMAN_HARRIS),
+            lead_shape=ls)
+        self.chan_filter = FirFilter(
+            firdes.low_pass(1.0, fs, filter_width, filter_width / 2,
+                            firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
+        self.quad = QuadratureDemod(self.sps / np.pi, lead_shape=ls)
+        self.shaping = FirFilter(
+            firdes.root_raised_cosine(1.5, fs, self.SYMBOL_RATE, 0.2,
+                                      25 * self.sps + 1), lead_shape=ls)
+        self.symbol_sync = SymbolSync(self.sps, loop_bw=2 * np.pi / 200.0,
+                                      decisions=_4FSK_LEVELS,
+                                      omega_limit=0.05, lead_shape=ls)
+        self.fec_tail = RxFecTail(lead_shape=ls)
+        self.blocks = [self.resamp, self.chan_filter, self.quad, self.shaping,
+                       self.symbol_sync, self.fec_tail]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, iq):
+        seq = Sequencer(state)
+        x = seq(self.resamp, iq)
+        x = seq(self.chan_filter, x)
+        rssi = rssi_dbm(x)
+        x = seq(self.quad, x)
+        x = seq(self.shaping, x)
+        syms = seq(self.symbol_sync, x)
+        # phase_mod(pi/2) projection -> (sin, cos) soft pair per symbol
+        # (the reference's FM-variant interleave order is [imag, real])
+        ph = (np.pi / 2) * syms
+        soft = jnp.stack([jnp.sin(ph), jnp.cos(ph)], axis=-1)
+        soft = soft.reshape(*syms.shape[:-1], syms.shape[-1] * 2)
+        soft = jnp.clip(soft * 128.0 + 128.0, 0.0, 255.0)
+        const_tap = jnp.exp(1j * ph).astype(jnp.complex64)
+        bits = seq(self.fec_tail, soft)
+        return seq.states(), {"bits": bits, "constellation": const_tap,
+                              "rssi": rssi, "symbols": syms}
+
+
+class Fsk4Mod(Block):
+    """4FSK TX, sps=5 config: 2 ksym/s -> RRC x5 -> FM -> x20 -> x5 -> 1 Msps.
+
+    Mirrors gr_mod_4fsk.cpp (fm variant: spacing 1, amplif 0.9, pulse gain
+    2/3) plus the gr_mod_base device-rate interpolation.
+    """
+    SAMP_RATE = 1_000_000
+    SYMBOL_RATE = 2_000
+
+    def __init__(self, filter_width: float = 4000.0, lead_shape: tuple = ()):
+        ls = tuple(lead_shape)
+        self.fec_head = TxFecHead(lead_shape=ls)
+        sps = 5
+        self.sps = sps
+        self.shaper = RationalResampler(
+            sps, 1, taps=firdes.root_raised_cosine(float(sps), float(sps),
+                                                   1.0, 0.2, 10 * sps + 1),
+            lead_shape=ls)
+        self.fm = FrequencyMod(np.pi / sps, lead_shape=ls)
+        self.up1 = RationalResampler(
+            20, 1, taps=firdes.low_pass(20.0, 200_000.0, filter_width,
+                                        filter_width, firdes.WIN_HAMMING),
+            lead_shape=ls)
+        self.up2 = RationalResampler(5, 1, lead_shape=ls)
+        self.levels = jnp.asarray(np.asarray(_4FSK_LEVELS, np.float32))
+        self.map = jnp.asarray(np.asarray(_4FSK_MAP, np.int32))
+        self.blocks = [self.fec_head, self.shaper, self.fm, self.up1, self.up2]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, data_bytes):
+        seq = Sequencer(state)
+        bits = bytes_to_bits(data_bytes)
+        coded = seq(self.fec_head, bits)
+        dibits = pack_dibits(coded)
+        syms = self.levels[self.map[dibits]]
+        x = seq(self.shaper, syms).real * (2.0 / 3.0)
+        x = seq(self.fm, x) * 0.9
+        x = seq(self.up1, x)
+        x = seq(self.up2, x)
+        return seq.states(), {"iq": x}
+
+
+class _BinaryFskDemodBase(Block):
+    """Shared RX for 2FSK/GMSK FM-discriminator binary chains."""
+    SAMP_RATE = 1_000_000
+
+    def __init__(self, target_rate: int, symbol_rate: int, quad_gain: float,
+                 shaping_taps, filter_width: float, lead_shape: tuple = ()):
+        ls = tuple(lead_shape)
+        self.sps = target_rate // symbol_rate
+        decim = self.SAMP_RATE // target_rate
+        self.resamp = RationalResampler(1, decim, lead_shape=ls)
+        self.chan_filter = FirFilter(
+            firdes.low_pass(1.0, target_rate, filter_width, filter_width / 2,
+                            firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
+        self.quad = QuadratureDemod(quad_gain, lead_shape=ls)
+        self.shaping = FirFilter(shaping_taps, lead_shape=ls)
+        self.symbol_sync = SymbolSync(self.sps, loop_bw=2 * np.pi / 200.0,
+                                      decisions=(-1.0, 1.0),
+                                      omega_limit=0.05, lead_shape=ls)
+        # delay-diversity: decode both coded-bit pairings in parallel
+        self.fec_tail = RxFecTail(lead_shape=(2,) + ls)
+        self.blocks = [self.resamp, self.chan_filter, self.quad, self.shaping,
+                       self.symbol_sync, self.fec_tail]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, iq):
+        seq = Sequencer(state)
+        x = seq(self.resamp, iq)
+        x = seq(self.chan_filter, x)
+        rssi = rssi_dbm(x)
+        x = seq(self.quad, x)
+        x = seq(self.shaping, x)
+        syms = seq(self.symbol_sync, x)
+        soft = jnp.clip(syms * 128.0 + 128.0, 0.0, 255.0)
+        # two pairing phases: [soft] and [soft delayed by 1]
+        delayed = jnp.concatenate(
+            [jnp.full(soft.shape[:-1] + (1,), 128.0), soft[..., :-1]], axis=-1)
+        both = jnp.stack([soft, delayed], axis=0)
+        bits2 = seq(self.fec_tail, both)
+        return seq.states(), {"bits": bits2[0], "bits_alt": bits2[1],
+                              "rssi": rssi, "symbols": syms}
+
+
+class Fsk2Demod(_BinaryFskDemodBase):
+    """2FSK FM variant (reference gr_demod_2fsk.cpp, sps=5 -> 1 ksym/s at
+    20 ksps; RRC(alpha=0.2) shaping)."""
+
+    def __init__(self, symbol_rate: int = 1000, filter_width: float = 2500.0,
+                 lead_shape: tuple = ()):
+        target = 20_000
+        sps = target // symbol_rate
+        super().__init__(
+            target, symbol_rate, quad_gain=target / (2 * np.pi * filter_width),
+            shaping_taps=firdes.root_raised_cosine(
+                1.0, target, symbol_rate, 0.2, 15 * sps + 1),
+            filter_width=filter_width, lead_shape=lead_shape)
+
+
+class GmskDemod(_BinaryFskDemodBase):
+    """GMSK (reference gr_demod_gmsk.cpp): quad gain sps/(pi/2), symbol LP."""
+
+    def __init__(self, symbol_rate: int = 1000, filter_width: float = 2500.0,
+                 lead_shape: tuple = ()):
+        target = 20_000
+        sps = target // symbol_rate
+        super().__init__(
+            target, symbol_rate, quad_gain=sps / (np.pi / 2),
+            shaping_taps=firdes.low_pass(1.0, target, symbol_rate,
+                                         symbol_rate / 2, firdes.WIN_HAMMING),
+            filter_width=filter_width, lead_shape=lead_shape)
+
+
+class _BinaryFskModBase(Block):
+    SAMP_RATE = 1_000_000
+
+    def __init__(self, symbol_rate: int, sensitivity_num: float,
+                 shaper, filter_width: float, lead_shape: tuple = ()):
+        ls = tuple(lead_shape)
+        self.fec_head = TxFecHead(lead_shape=ls)
+        self.shaper = shaper
+        rate_after = symbol_rate * self.sps_total
+        self.fm = FrequencyMod(sensitivity_num / self.sps_total, lead_shape=ls)
+        up = self.SAMP_RATE // rate_after
+        self.up = RationalResampler(up, 1, lead_shape=ls)
+        self.blocks = [self.fec_head, self.shaper, self.fm, self.up]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, data_bytes):
+        seq = Sequencer(state)
+        bits = bytes_to_bits(data_bytes)
+        coded = seq(self.fec_head, bits)
+        syms = 2.0 * coded.astype(jnp.float32) - 1.0
+        x = seq(self.shaper, syms).real
+        x = seq(self.fm, x) * 0.9
+        x = seq(self.up, x)
+        return seq.states(), {"iq": x}
+
+
+class Fsk2Mod(_BinaryFskModBase):
+    def __init__(self, symbol_rate: int = 1000, filter_width: float = 2500.0,
+                 lead_shape: tuple = ()):
+        sps = 5
+        self.sps_total = sps
+        shaper = RationalResampler(
+            sps, 1, taps=firdes.root_raised_cosine(float(sps), float(sps),
+                                                   1.0, 0.2, 25 * sps + 1),
+            lead_shape=tuple(lead_shape))
+        super().__init__(symbol_rate, np.pi / 2, shaper, filter_width,
+                         lead_shape)
+
+
+class GmskMod(_BinaryFskModBase):
+    def __init__(self, symbol_rate: int = 1000, filter_width: float = 2500.0,
+                 lead_shape: tuple = ()):
+        sps = 5
+        self.sps_total = sps
+        # gaussian pulse shaping (BT=0.35) after x(sps) zero-order hold
+        g = firdes.gaussian(1.0 / sps, sps, 0.35, 4 * sps)
+        hold = np.ones(sps, np.float32)
+        taps = np.convolve(np.repeat(g, 1), hold).astype(np.float32) * 1.0
+        shaper = RationalResampler(sps, 1, taps=taps * sps,
+                                   lead_shape=tuple(lead_shape))
+        super().__init__(symbol_rate, np.pi / 2, shaper, filter_width,
+                         lead_shape)

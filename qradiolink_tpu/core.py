@@ -1,0 +1,166 @@
+"""Core streaming-block abstraction.
+
+The reference (qradiolink) builds GNU Radio flowgraphs: one thread per block,
+ring buffers between blocks, implicit per-block state (see reference
+src/gr/gr_demod_base.cpp:180-200). Here a *block* is a pure function on
+explicit state:
+
+    state' , y = block(state, x)
+
+and a *chain* is a trace-time composition of blocks compiled as ONE XLA
+program per IQ time-block. Streaming is an outer host loop (`run_stream`) or
+`lax.scan` over pre-split blocks (`scan_stream`). Because state is explicit,
+processing a stream in one big block or many small blocks yields identical
+output (block-size invariance) — the property that replaces the GR
+scheduler's correctness, tested in tests/test_invariance.py.
+
+Blocks are dataclass-like Python objects: hyperparameters (tap arrays, rates)
+are Python/ndarray constants baked into the trace; state is a pytree of
+jnp arrays. All blocks operate on the LAST axis (time) and broadcast over
+leading axes, so `jax.vmap` over channels is mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+State = Any
+Array = jax.Array
+
+
+class Block:
+    """Base class for streaming DSP blocks.
+
+    Subclasses implement:
+      init_state(self) -> State           (pytree of jnp arrays; may be ())
+      __call__(self, state, x) -> (State, y)
+
+    Stateless blocks may subclass `Stateless` instead and implement
+    `apply(self, x)`.
+    """
+
+    def init_state(self) -> State:
+        return ()
+
+    def __call__(self, state: State, x: Array):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # -- conveniences -------------------------------------------------------
+    def one_shot(self, x: Array) -> Array:
+        """Run on a single block from fresh state, return output only."""
+        _, y = self(self.init_state(), x)
+        return y
+
+
+class Stateless(Block):
+    """Block with no carried state."""
+
+    def apply(self, x: Array) -> Array:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __call__(self, state: State, x: Array):
+        return state, self.apply(x)
+
+
+class Fn(Stateless):
+    """Wrap a plain function as a stateless block."""
+
+    def __init__(self, fn: Callable[[Array], Array], name: str | None = None):
+        self.fn = fn
+        self.name = name or getattr(fn, "__name__", "fn")
+
+    def apply(self, x: Array) -> Array:
+        return self.fn(x)
+
+
+class Chain(Block):
+    """Serial composition of blocks. State is a tuple of member states.
+
+    Mirrors the role of gr::hier_block2 in the reference's demod chains
+    (e.g. reference src/gr/gr_demod_nbfm.cpp:31-79) but is compiled as one
+    fused XLA program instead of a thread-per-block pipeline.
+    """
+
+    def __init__(self, blocks: Sequence[Block], name: str = "chain"):
+        self.blocks = tuple(blocks)
+        self.name = name
+
+    def init_state(self) -> State:
+        return tuple(b.init_state() for b in self.blocks)
+
+    def __call__(self, state: State, x: Array):
+        new_states = []
+        for b, s in zip(self.blocks, state):
+            s, x = b(s, x)
+            new_states.append(s)
+        return tuple(new_states), x
+
+
+class Sequencer:
+    """Helper for chains with taps/branches: threads state through blocks
+    called in a fixed order.
+
+        def __call__(self, state, x):
+            seq = Sequencer(state)
+            y = seq(self.resamp, x)
+            tap = probe(y)                # taps are just reads
+            y = seq(self.filter, y)
+            return seq.states(), {...}
+
+    The call order must be static (same every trace) — it defines the
+    state pytree layout.
+    """
+
+    def __init__(self, state: State):
+        self._iter = iter(state)
+        self._new = []
+
+    def __call__(self, block: Block, x: Array) -> Array:
+        s, y = block(next(self._iter), x)
+        self._new.append(s)
+        return y
+
+    def states(self) -> State:
+        return tuple(self._new)
+
+
+def init_states(blocks: Sequence[Block]) -> State:
+    return tuple(b.init_state() for b in blocks)
+
+
+def run_stream(block: Block, chunks: Iterable[Array], state: State = None):
+    """Host-side streaming loop: feed successive chunks through `block`.
+
+    Yields outputs per chunk. This is the online/real-time path; for offline
+    whole-file processing prefer `scan_stream` (single device program).
+    """
+    if state is None:
+        state = block.init_state()
+    for chunk in chunks:
+        state, y = block(state, chunk)
+        yield y
+
+
+def scan_stream(block: Block, x_blocks: Array, state: State = None):
+    """Run `block` over a pre-split stream with `lax.scan`.
+
+    x_blocks: array of shape (num_blocks, ...block shape...).
+    Returns (final_state, y_blocks).
+    """
+    if state is None:
+        state = block.init_state()
+
+    def step(s, xb):
+        s, yb = block(s, xb)
+        return s, yb
+
+    return jax.lax.scan(step, state, x_blocks)
+
+
+def concat_stream_out(y_blocks: Array) -> Array:
+    """Collapse scan_stream block outputs (N, ..., T) back to (..., N*T)."""
+    y = jnp.moveaxis(y_blocks, 0, -2)
+    return y.reshape(*y.shape[:-2], y.shape[-2] * y.shape[-1])

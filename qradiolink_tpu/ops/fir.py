@@ -1,0 +1,146 @@
+"""Streaming FIR filters.
+
+The reference filters everything with gr::filter::fft_filter_ccf/ccc/fff
+(overlap-save FFT convolution) and polyphase fir_filter blocks. Here a FIR
+is a pure function on (tail_state, x): the carried state is the last
+ntaps-1 input samples, so output is bit-identical regardless of how the
+stream is split into blocks.
+
+Convention: y[n] = sum_k h[k] * x[n-k] with x[<0] from the carried tail
+(zeros at stream start). Output length == input length / decim. With
+decimation D, blocks must have T % D == 0 so the decimation phase is
+preserved across block boundaries. Output y[m] aligns with input x[m*D].
+
+Two implementations, selected automatically:
+  * time-domain via lax.conv_general_dilated (XLA maps this onto the MXU)
+  * frequency-domain via FFT multiply (overlap-save over the whole block)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qradiolink_tpu.core import Block
+
+_CONV_PRECISION = lax.Precision.HIGHEST
+
+
+def _conv1d_real(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.Array:
+    """VALID 1-D correlation of real x (..., T) with already-flipped real taps."""
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1]))
+    rhs = taps_flipped.reshape((1, 1, -1))
+    y = lax.conv_general_dilated(
+        xb,
+        rhs,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=_CONV_PRECISION,
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def conv1d_valid(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
+    """VALID FIR: y[m] = sum_k taps[k] * x[m*stride + K-1 - k].
+
+    Handles any real/complex combination of x and taps via real convs.
+    """
+    taps = jnp.asarray(taps)
+    tf = taps[::-1]
+    cx = jnp.iscomplexobj(x)
+    ct = jnp.iscomplexobj(taps)
+    if not cx and not ct:
+        return _conv1d_real(x, tf, stride)
+    if cx and not ct:
+        yr = _conv1d_real(x.real, tf, stride)
+        yi = _conv1d_real(x.imag, tf, stride)
+        return lax.complex(yr, yi)
+    if not cx and ct:
+        yr = _conv1d_real(x, tf.real, stride)
+        yi = _conv1d_real(x, tf.imag, stride)
+        return lax.complex(yr, yi)
+    # complex * complex: 4 real convs
+    rr = _conv1d_real(x.real, tf.real, stride)
+    ii = _conv1d_real(x.imag, tf.imag, stride)
+    ri = _conv1d_real(x.real, tf.imag, stride)
+    ir = _conv1d_real(x.imag, tf.real, stride)
+    return lax.complex(rr - ii, ri + ir)
+
+
+def fir_filter(x: jax.Array, taps: jax.Array, decim: int = 1) -> jax.Array:
+    """One-shot FIR with zero history. y[m] = sum_k h[k] x[m*decim - k]."""
+    k = np.asarray(taps).shape[0]
+    pad = [(0, 0)] * (x.ndim - 1) + [(k - 1, 0)]
+    return conv1d_valid(jnp.pad(x, pad), jnp.asarray(taps), decim)
+
+
+def _fft_len(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(n, 2))))
+
+
+def fft_fir_block(xc: jax.Array, taps: jax.Array, decim: int = 1) -> jax.Array:
+    """Overlap-save core: xc already includes the K-1 history prefix.
+
+    Returns the T/decim valid outputs (T = xc.shape[-1] - K + 1).
+    """
+    taps = jnp.asarray(taps)
+    k = taps.shape[-1]
+    t = xc.shape[-1] - (k - 1)
+    n = _fft_len(xc.shape[-1])
+    complex_out = jnp.iscomplexobj(xc) or jnp.iscomplexobj(taps)
+    X = jnp.fft.fft(xc, n=n)
+    H = jnp.fft.fft(taps.astype(jnp.complex64 if complex_out else None), n=n)
+    y = jnp.fft.ifft(X * H)[..., k - 1 : k - 1 + t]
+    if not complex_out:
+        y = y.real
+    if decim > 1:
+        y = y[..., ::decim]
+    return y
+
+
+class FirFilter(Block):
+    """Streaming FIR with carried input tail; optional decimation.
+
+    impl: 'conv' | 'fft' | 'auto' (fft when ntaps > 96 and decim small).
+    """
+
+    def __init__(self, taps, decim: int = 1, impl: str = "auto",
+                 lead_shape: tuple = ()):
+        taps = np.asarray(taps)
+        self.taps = jnp.asarray(taps)
+        self.ntaps = int(taps.shape[0])
+        self.decim = int(decim)
+        self.complex_taps = np.iscomplexobj(taps)
+        self.lead_shape = tuple(lead_shape)
+        if impl == "auto":
+            impl = "fft" if (self.ntaps > 96 and self.decim <= 2) else "conv"
+        self.impl = impl
+
+    def init_state(self):
+        dt = jnp.complex64  # tail stored complex; cast on use for real inputs
+        return jnp.zeros(self.lead_shape + (self.ntaps - 1,), dtype=dt)
+
+    def __call__(self, state, x):
+        tail = state
+        if not jnp.iscomplexobj(x):
+            tail_x = tail.real.astype(x.dtype)
+        else:
+            tail_x = tail
+        xc = jnp.concatenate([tail_x, x], axis=-1)
+        if self.impl == "fft":
+            y = fft_fir_block(xc, self.taps, self.decim)
+        else:
+            y = conv1d_valid(xc, self.taps, self.decim)
+        new_tail = xc[..., xc.shape[-1] - (self.ntaps - 1):].astype(jnp.complex64)
+        return new_tail, y
+
+
+class FftFirFilter(FirFilter):
+    """FFT-implemented streaming FIR (the fft_filter_ccf/ccc/fff equivalent)."""
+
+    def __init__(self, taps, decim: int = 1, lead_shape: tuple = ()):
+        super().__init__(taps, decim=decim, impl="fft", lead_shape=lead_shape)

@@ -1,0 +1,123 @@
+"""Polyphase rational resampler (streaming).
+
+Equivalent of gr::filter::rational_resampler used at the head of every
+reference chain (e.g. reference src/gr/gr_demod_nbfm.cpp resamples 1 Msps
+-> 20 ksps with 1/50, src/gr/gr_mod_m17.cpp interpolates 24k -> 1M with
+125/3). Implemented as L phase-split strided convolutions — each phase is a
+VALID conv with stride M, which XLA lowers to MXU-friendly convolution; no
+zero-stuffing is materialized.
+
+Math: y[m] = sum_k h[p_m + L*k] * x[floor(m*M/L) - k],  p_m = (m*M) mod L.
+Grouping outputs by residue r = m mod L gives per-class strided FIRs:
+  y[r::L][t] = sum_k h_r[k] * x[t*M + q_r - k],  q_r = floor(r*M/L),
+with h_r = h[p_r::L]. Streaming requires block length T % M == 0; then each
+block yields T*L/M outputs and the phase pattern repeats exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from qradiolink_tpu.core import Block
+from qradiolink_tpu.ops import firdes
+from qradiolink_tpu.ops.fir import conv1d_valid
+
+
+def design_resampler_taps(interpolation: int, decimation: int,
+                          fractional_bw: float = 0.4) -> np.ndarray:
+    """Default anti-alias/anti-image filter for L/M resampling.
+
+    Kaiser(beta=7) low-pass at the tighter of the input/output Nyquist,
+    mirroring the rational_resampler default design semantics.
+    """
+    if not 0 < fractional_bw < 0.5:
+        raise ValueError("fractional_bw must be in (0, 0.5)")
+    beta = 7.0
+    halfband = 0.5
+    rate = interpolation / decimation
+    if rate >= 1.0:
+        trans_width = halfband - fractional_bw
+        mid = halfband - trans_width / 2.0
+    else:
+        trans_width = rate * (halfband - fractional_bw)
+        mid = rate * halfband - trans_width / 2.0
+    return kaiser_low_pass(interpolation, interpolation, mid, trans_width, beta)
+
+
+def kaiser_low_pass(gain: float, samp_rate: float, cutoff: float,
+                    transition_width: float, beta: float = 7.0) -> np.ndarray:
+    """Windowed-sinc low-pass with a Kaiser window."""
+    att = beta / 0.1102 + 8.7  # invert beta = 0.1102 (att - 8.7)
+    df = transition_width / samp_rate
+    ntaps = int((att - 7.95) / (2.285 * 2 * np.pi * df)) + 1
+    ntaps |= 1
+    m = (ntaps - 1) / 2.0
+    n = np.arange(ntaps, dtype=np.float64)
+    w = np.i0(beta * np.sqrt(np.clip(1.0 - ((n - m) / m) ** 2, 0.0, 1.0))) / np.i0(beta)
+    fc = cutoff / samp_rate
+    h = 2.0 * fc * np.sinc(2.0 * fc * (n - m)) * w
+    h *= gain / np.sum(h)
+    return h.astype(np.float32)
+
+
+class RationalResampler(Block):
+    """Streaming polyphase L/M resampler.
+
+    State: last (Kp-1) input samples (Kp = per-phase tap count).
+    Requires each processed block length T to satisfy T % M == 0.
+    """
+
+    def __init__(self, interpolation: int, decimation: int, taps=None,
+                 fractional_bw: float = 0.4, lead_shape: tuple = ()):
+        g = math.gcd(int(interpolation), int(decimation))
+        self.L = int(interpolation) // g
+        self.M = int(decimation) // g
+        if taps is None:
+            taps = design_resampler_taps(self.L, self.M, fractional_bw)
+        taps = np.asarray(taps)
+        self.complex_taps = np.iscomplexobj(taps)
+        # pad taps to a multiple of L and split into L phases
+        kp = -(-taps.shape[0] // self.L)  # ceil
+        padded = np.zeros(kp * self.L, dtype=taps.dtype)
+        padded[: taps.shape[0]] = taps
+        self.kp = kp
+        self.lead_shape = tuple(lead_shape)
+        # phase-r taps: h[p_r::L] with p_r = (r*M) mod L ; offsets q_r = floor(r*M/L)
+        self.phase_taps = []
+        self.offsets = []
+        for r in range(self.L):
+            p = (r * self.M) % self.L
+            self.phase_taps.append(jnp.asarray(padded[p::self.L]))
+            self.offsets.append((r * self.M) // self.L)
+
+    def init_state(self):
+        return jnp.zeros(self.lead_shape + (self.kp - 1,), dtype=jnp.complex64)
+
+    def __call__(self, state, x):
+        T = x.shape[-1]
+        if T % self.M != 0:
+            raise ValueError(f"block length {T} not a multiple of decimation {self.M}")
+        tail = state
+        if not jnp.iscomplexobj(x):
+            tail_x = tail.real.astype(x.dtype)
+        else:
+            tail_x = tail
+        xc = jnp.concatenate([tail_x, x], axis=-1)
+        n_out_per_phase = T // self.M
+        ys = []
+        for r in range(self.L):
+            # windows end at xc index (Kp-1) + q_r + t*M ; conv1d_valid with
+            # stride M over xc sliced from q_r yields exactly those outputs.
+            seg = xc[..., self.offsets[r]: self.offsets[r] + (self.kp - 1) + T
+                     - (self.M - 1)]
+            yr = conv1d_valid(seg, self.phase_taps[r], stride=self.M)
+            ys.append(yr[..., :n_out_per_phase])
+        if self.L == 1:
+            y = ys[0]
+        else:
+            y = jnp.stack(ys, axis=-1).reshape(x.shape[:-1] + (n_out_per_phase * self.L,))
+        new_tail = xc[..., xc.shape[-1] - (self.kp - 1):].astype(jnp.complex64)
+        return new_tail, y

@@ -1,0 +1,64 @@
+"""Spectral probes: windowed FFT display tap and RSSI estimation.
+
+Equivalents of the reference's rx_fft_c/rx_fft_f (reference
+src/gr/rx_fft.cpp:42-185: windowed FFT, center-shifted power spectrum) and
+the rssi_block probe chain (reference src/gr/rssi_block.cpp:25-50:
+mag^2 -> moving_average(2000) -> single-pole IIR(0.04) -> 10log10 + cal).
+Probes are pure functions over a block tap — they cost nothing unless their
+outputs are actually consumed (XLA dead-code-eliminates unused taps, the
+analogue of the reference's probe "valves").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from qradiolink_tpu.core import Block
+from qradiolink_tpu.ops import firdes
+from qradiolink_tpu.ops.iir import linear_recurrence
+
+
+class SpectrumProbe:
+    """Windowed, center-shifted power spectrum in dBFS over the last
+    fft_size samples of a block (the GUI waterfall feed)."""
+
+    def __init__(self, fft_size: int = 1024, win: str = firdes.WIN_HAMMING):
+        self.fft_size = int(fft_size)
+        self.window = jnp.asarray(
+            firdes.window(win, self.fft_size).astype(np.float32))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        seg = x[..., -self.fft_size:] * self.window
+        spec = jnp.fft.fftshift(jnp.fft.fft(seg, axis=-1), axes=-1)
+        p = (spec.real**2 + spec.imag**2) / (self.fft_size**2)
+        return 10.0 * jnp.log10(p + 1e-20)
+
+
+def rssi_dbm(x: jnp.ndarray, cal_offset_db: float = 0.0) -> jnp.ndarray:
+    """Block RSSI estimate in dB(m): smoothed mean power of the filtered tap."""
+    p = jnp.mean(x.real**2 + x.imag**2, axis=-1)
+    return 10.0 * jnp.log10(p + 1e-20) + cal_offset_db
+
+
+class RssiProbe(Block):
+    """Streaming RSSI: moving average then single-pole IIR, per block output."""
+
+    def __init__(self, avg_len: int = 2000, alpha: float = 0.04,
+                 cal_offset_db: float = 0.0, lead_shape: tuple = ()):
+        self.avg_len = int(avg_len)
+        self.alpha = float(alpha)
+        self.cal = float(cal_offset_db)
+        self.lead_shape = tuple(lead_shape)
+
+    def init_state(self):
+        return jnp.zeros(self.lead_shape, dtype=jnp.float32)
+
+    def __call__(self, state, x):
+        p = x.real**2 + x.imag**2
+        # blockwise moving average approximation: mean over trailing window
+        seg = p[..., -min(self.avg_len, p.shape[-1]):]
+        m = jnp.mean(seg, axis=-1)
+        smoothed = (1.0 - self.alpha) * state + self.alpha * m
+        db = 10.0 * jnp.log10(smoothed + 1e-20) + self.cal
+        return smoothed, db

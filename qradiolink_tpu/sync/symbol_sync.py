@@ -1,0 +1,156 @@
+"""Symbol timing recovery: Mueller & Müller / modified-M&M with
+polynomial interpolation.
+
+Equivalent of gr::digital::symbol_sync_cc/ff and clock_recovery_mm_cc used
+in every digital chain (reference src/gr/gr_demod_qpsk.cpp symbol_sync_cc
+with M&M TED + MMSE interpolation; gr_demod_4fsk.cpp symbol_sync_ff with a
+4-level constellation "MOD_MUELLER_AND_MULLER"; gr_demod_bpsk.cpp
+clock_recovery_mm_cc).
+
+Design for TPU: the loop runs as lax.scan over OUTPUT SYMBOLS (not input
+samples) — T/sps iterations per block instead of T — carrying a float
+sample-position, the clock estimate (omega), and the previous
+decision/output needed by the TED. Interpolation is 4-point cubic Lagrange
+(Farrow), behaviorally interchangeable with the reference's 8-tap MMSE
+interpolator at these oversampling ratios (validated by loopback BER tests).
+
+Streaming: each block consumes T input samples (T % sps == 0) and emits
+exactly T/sps symbols; the fractional read position is carried in state,
+with a tail buffer providing the history/lookahead halo. The clock estimate
+is clamped to +/- omega_limit around nominal so the position drift per block
+is bounded (same role as the reference's omega_relative_limit), which is
+what makes a fixed symbols-per-block contract sound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qradiolink_tpu.core import Block
+from qradiolink_tpu.sync.costas import loop_gains
+
+
+def _cubic_coeffs(mu):
+    """4-point cubic Lagrange coefficients for sample points [-1, 0, 1, 2]."""
+    c_m1 = -mu * (mu - 1.0) * (mu - 2.0) / 6.0
+    c_0 = (mu + 1.0) * (mu - 1.0) * (mu - 2.0) / 2.0
+    c_1 = -(mu + 1.0) * mu * (mu - 2.0) / 2.0
+    c_2 = (mu + 1.0) * mu * (mu - 1.0) / 6.0
+    return jnp.stack([c_m1, c_0, c_1, c_2], axis=-1)
+
+
+class SymbolSync(Block):
+    """M&M timing recovery emitting T/sps symbols per T-sample block.
+
+    decisions:
+      None        -> complex sign-decisions (BPSK/QPSK M&M, per-rail sign)
+      1-D array   -> real levels (e.g. [-1.5, -0.5, 0.5, 1.5] for 4FSK,
+                     [-1, 1] for BPSK-float GMSK/2FSK chains)
+    """
+
+    # extra tail beyond interpolator needs, to absorb bounded clock drift
+    SLACK = 8
+
+    def __init__(self, sps: float, loop_bw: float = 0.045,
+                 decisions=None, omega_limit: float = 0.005,
+                 lead_shape: tuple = ()):
+        self.sps = float(sps)
+        self.alpha, self.beta = loop_gains(loop_bw)
+        self.levels = None if decisions is None else jnp.asarray(
+            np.asarray(decisions, dtype=np.float32))
+        self.omega_limit = float(omega_limit) * self.sps
+        self.lead_shape = tuple(lead_shape)
+        # tail must cover: 1 sample history + 2 lookahead for cubic, plus
+        # drift slack, plus one symbol period of phase offset
+        self.tail_len = int(np.ceil(self.sps)) + 4 + self.SLACK
+
+    def init_state(self):
+        pos = jnp.full(self.lead_shape, float(self.tail_len) + 2.0, jnp.float32)
+        omega = jnp.full(self.lead_shape, self.sps, jnp.float32)
+        zc = jnp.zeros(self.lead_shape, jnp.complex64)
+        tail = jnp.zeros(self.lead_shape + (self.tail_len,), jnp.complex64)
+        return (pos, omega, zc, zc, tail)
+
+    def _decide(self, y):
+        if self.levels is None:
+            if jnp.iscomplexobj(y):
+                return jnp.sign(y.real) + 1j * jnp.sign(y.imag)
+            return jnp.sign(y)
+        idx = jnp.argmin(jnp.abs(y[..., None] - self.levels), axis=-1)
+        return self.levels[idx]
+
+    def __call__(self, state, x):
+        pos0, omega0, y_prev0, d_prev0, tail = state
+        complex_in = jnp.iscomplexobj(x)
+        if not complex_in:
+            x = x.astype(jnp.float32) + 0j
+        xc = jnp.concatenate([tail, x.astype(jnp.complex64)], axis=-1)
+        T = x.shape[-1]
+        n_out = int(round(T / self.sps))
+        total = xc.shape[-1]
+        max_pos = float(total - 3)
+
+        lead = self.lead_shape
+        batched = len(lead) > 0
+        if batched:
+            xc_flat = xc.reshape((-1, total))
+        else:
+            xc_flat = xc.reshape((1, total))
+        nb = xc_flat.shape[0]
+
+        def interp(pos):
+            # pos: (nb,) float positions into xc_flat rows
+            base = jnp.floor(pos).astype(jnp.int32)
+            mu = pos - base.astype(jnp.float32)
+            coef = _cubic_coeffs(mu)  # (nb, 4)
+
+            def gather_row(row, b):
+                return jax.lax.dynamic_slice(row, (b - 1,), (4,))
+
+            win = jax.vmap(gather_row)(xc_flat, base)  # (nb, 4)
+            return jnp.sum(win * coef.astype(win.dtype), axis=-1)
+
+        def step(carry, _):
+            pos, omega, y_prev, d_prev = carry
+            posc = jnp.clip(pos, 2.0, max_pos)
+            y = interp(posc)
+            d = self._decide(y)
+            if self.levels is None and complex_in:
+                err = (d_prev * jnp.conj(y) - d * jnp.conj(y_prev)).real
+            else:
+                err = (d_prev * y - d * y_prev).real
+            err = jnp.clip(err, -1.0, 1.0)
+            omega_n = jnp.clip(omega + self.beta * err,
+                               self.sps - self.omega_limit,
+                               self.sps + self.omega_limit)
+            pos_n = pos + omega_n + self.alpha * err
+            return (pos_n, omega_n, y, d), y
+
+        pos_f = pos0.reshape((nb,)) if batched else pos0.reshape((1,))
+        om_f = omega0.reshape((nb,)) if batched else omega0.reshape((1,))
+        yp_f = y_prev0.reshape((nb,))
+        dp_f = d_prev0.reshape((nb,)) + 0j
+
+        (pos, omega, y_prev, d_prev), ys = jax.lax.scan(
+            step, (pos_f, om_f, yp_f, dp_f), None, length=n_out)
+        ys = jnp.moveaxis(ys, 0, -1)  # (nb, n_out)
+
+        # carry: keep last tail_len samples; shift position accordingly
+        shift = total - self.tail_len
+        pos_new = jnp.clip(pos - shift, 0.0, float(self.tail_len + self.SLACK))
+        new_tail = xc_flat[:, shift:]
+
+        out_shape = lead + (n_out,)
+        ys = ys.reshape(out_shape)
+        if not complex_in and self.levels is not None:
+            ys = ys.real
+        new_state = (
+            pos_new.reshape(lead) if batched else pos_new.reshape(()),
+            omega.reshape(lead) if batched else omega.reshape(()),
+            y_prev.reshape(lead) if batched else y_prev.reshape(()),
+            (d_prev.reshape(lead) if batched else d_prev.reshape(())),
+            new_tail.reshape(lead + (self.tail_len,)),
+        )
+        return new_state, ys

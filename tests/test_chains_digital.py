@@ -1,0 +1,92 @@
+"""Loopback BER tests for the digital chains: bytes -> TX -> channel -> RX
+-> bits; align and measure BER (the reference's over-the-air verification,
+done as the SURVEY §4 test plan prescribes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qradiolink_tpu.chains.fsk import Fsk4Mod, Fsk4Demod, Fsk2Mod, Fsk2Demod
+from qradiolink_tpu.chains.psk import BpskMod, BpskDemod, QpskMod, QpskDemod
+from qradiolink_tpu.chains.channel import ChannelModel
+from qradiolink_tpu.chains.digital_common import bytes_to_bits
+
+
+def best_ber(decoded, sent_bits, max_offset=400):
+    """Min BER over bit alignments, measured on the second half."""
+    sent = np.asarray(sent_bits)
+    dec = np.asarray(decoded)
+    n = len(sent)
+    best = 1.0
+    for off in range(0, max_offset):
+        if off + n // 2 > len(dec):
+            break
+        seg_dec = dec[off + n // 4: off + n // 2]
+        seg_sent = sent[n // 4: n // 2]
+        m = min(len(seg_dec), len(seg_sent))
+        if m < 100:
+            continue
+        ber = np.mean(seg_dec[:m] != seg_sent[:m])
+        best = min(best, ber)
+    return best
+
+
+def loopback(mod, demod, n_bytes, snr_db, seed=7, freq_offset=0.0):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, n_bytes).astype(np.uint8)
+    _, tx = mod(mod.init_state(), jnp.asarray(data))
+    iq = tx["iq"]
+    chan = ChannelModel(1_000_000, snr_db=snr_db, freq_offset_hz=freq_offset)
+    rx_iq = chan(iq)
+    _, out = demod(demod.init_state(), rx_iq)
+    return data, out
+
+
+def test_fsk4_clean_loopback():
+    data, out = loopback(Fsk4Mod(), Fsk4Demod(), n_bytes=250, snr_db=None)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = best_ber(out["bits"], sent)
+    assert ber < 0.01, f"4FSK clean BER {ber}"
+
+
+def test_fsk4_awgn_loopback():
+    data, out = loopback(Fsk4Mod(), Fsk4Demod(), n_bytes=250, snr_db=12.0)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = best_ber(out["bits"], sent)
+    assert ber < 0.02, f"4FSK 12dB BER {ber}"
+
+
+def test_fsk4_symbols_are_4_level():
+    data, out = loopback(Fsk4Mod(), Fsk4Demod(), n_bytes=250, snr_db=None)
+    syms = np.asarray(out["symbols"])[500:]
+    # symbols should cluster near the 4 levels
+    dists = np.min(np.abs(syms[:, None] - np.array([-1.5, -0.5, 0.5, 1.5])), axis=1)
+    assert np.median(dists) < 0.3
+
+
+def test_bpsk_clean_loopback():
+    data, out = loopback(BpskMod(), BpskDemod(), n_bytes=250, snr_db=None)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = min(best_ber(out["bits"], sent), best_ber(out["bits_alt"], sent))
+    assert ber < 0.01, f"BPSK clean BER {ber}"
+
+
+def test_bpsk_awgn_loopback():
+    data, out = loopback(BpskMod(), BpskDemod(), n_bytes=250, snr_db=10.0)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = min(best_ber(out["bits"], sent), best_ber(out["bits_alt"], sent))
+    assert ber < 0.02, f"BPSK 10dB BER {ber}"
+
+
+def test_qpsk_clean_loopback():
+    data, out = loopback(QpskMod(), QpskDemod(), n_bytes=1250, snr_db=None)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = best_ber(out["bits"], sent)
+    assert ber < 0.01, f"QPSK clean BER {ber}"
+
+
+def test_fsk2_clean_loopback():
+    data, out = loopback(Fsk2Mod(), Fsk2Demod(), n_bytes=125, snr_db=None)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = min(best_ber(out["bits"], sent), best_ber(out["bits_alt"], sent))
+    assert ber < 0.01, f"2FSK clean BER {ber}"

@@ -60,7 +60,11 @@ class Fsk4Demod(Block):
         self.shaping = FirFilter(
             firdes.root_raised_cosine(1.5, fs, self.SYMBOL_RATE, 0.2,
                                       25 * self.sps + 1), lead_shape=ls)
-        self.symbol_sync = SymbolSync(self.sps, loop_bw=2 * np.pi / 200.0,
+        # gains derived from the reference's symbol_sync_ff(loop_bw
+        # 2*pi/200, damping 1.0, ted_gain 0.2869) normalized-loop design
+        # (gr_demod_4fsk.cpp:135): fast acquisition, bounded by omega_limit
+        self.symbol_sync = SymbolSync(self.sps, gain_mu=0.085,
+                                      gain_omega=0.0038,
                                       decisions=_4FSK_LEVELS,
                                       omega_limit=0.05, lead_shape=ls)
         self.fec_tail = RxFecTail(lead_shape=ls)
@@ -149,7 +153,8 @@ class _BinaryFskDemodBase(Block):
                             firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
         self.quad = QuadratureDemod(quad_gain, lead_shape=ls)
         self.shaping = FirFilter(shaping_taps, lead_shape=ls)
-        self.symbol_sync = SymbolSync(self.sps, loop_bw=2 * np.pi / 200.0,
+        self.symbol_sync = SymbolSync(self.sps, gain_mu=0.085,
+                                      gain_omega=0.0038,
                                       decisions=(-1.0, 1.0),
                                       omega_limit=0.05, lead_shape=ls)
         # delay-diversity: decode both coded-bit pairings in parallel

@@ -51,8 +51,9 @@ class BpskDemod(Block):
             firdes.root_raised_cosine(float(self.sps), float(self.sps), 1.0,
                                       0.35, 15 * self.sps + 1), lead_shape=ls)
         self.agc = Agc2(1e-1, 1e-1, reference=1.0, lead_shape=ls)
-        self.symbol_sync = SymbolSync(self.sps, loop_bw=2 * np.pi / 100.0,
-                                      omega_limit=0.005, lead_shape=ls)
+        self.symbol_sync = SymbolSync(self.sps, gain_mu=0.05,
+                                      gain_omega=2.5e-5,
+                                      omega_limit=0.001, lead_shape=ls)
         self.costas = CostasLoop(2 * np.pi / 200.0, order=2, lead_shape=ls)
         self.fec_tail = RxFecTail(lead_shape=(2,) + ls)
         self.blocks = [self.resamp, self.fll, self.shaping, self.agc,
@@ -132,8 +133,9 @@ class QpskDemod(Block):
         self.agc = Agc2(1.0, 1e-1, reference=1.0, lead_shape=ls)
         self.costas_pll = CostasLoop(np.pi / 200.0 / self.sps, order=4,
                                      lead_shape=ls)
-        self.symbol_sync = SymbolSync(self.sps, loop_bw=np.pi / 400.0,
-                                      omega_limit=0.005, lead_shape=ls)
+        self.symbol_sync = SymbolSync(self.sps,
+                                      omega_limit=200.0 / symbol_rate,
+                                      lead_shape=ls)
         self.costas = CostasLoop(np.pi / 200.0, order=4, lead_shape=ls)
         self.fec_tail = RxFecTail(lead_shape=ls)
         self.lead_shape = ls

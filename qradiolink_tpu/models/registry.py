@@ -1,0 +1,117 @@
+"""Operating-mode registry.
+
+Mirrors the reference's mode <-> modem-type mapping (reference
+src/radiocontroller.cpp:2111-2360 RX / :2361-2525 TX and the
+gr_modem_types enum in src/modem_types.h): one ModeSpec per user-facing
+mode with its RX/TX chain factories, framing config key, and scan step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from qradiolink_tpu.chains.nbfm import NbfmDemod, NbfmMod
+from qradiolink_tpu.chains.wbfm import WbfmDemod
+from qradiolink_tpu.chains.am import AmDemod, AmMod
+from qradiolink_tpu.chains.ssb import SsbDemod, SsbMod
+from qradiolink_tpu.chains.fsk import (
+    Fsk4Demod, Fsk4Mod, Fsk2Demod, Fsk2Mod, GmskDemod, GmskMod)
+from qradiolink_tpu.chains.psk import (
+    BpskDemod, BpskMod, QpskDemod, QpskMod)
+
+
+@dataclass(frozen=True)
+class ModeSpec:
+    name: str
+    kind: str                     # 'analog' | 'digital_voice' | 'digital_data'
+    rx_factory: Optional[Callable]
+    tx_factory: Optional[Callable]
+    framing: Optional[str] = None   # key into MODE_FRAME_CONFIG
+    scan_step_hz: int = 12500       # per-mode scan step (reference tables)
+    audio_rate: int = 8000
+    bit_rate: int = 0
+
+
+def _spec(name, kind, rx, tx, framing=None, step=12500, bit_rate=0):
+    return ModeSpec(name, kind, rx, tx, framing, step, bit_rate=bit_rate)
+
+
+MODES = {
+    "FM": _spec("FM", "analog", lambda **k: NbfmDemod(filter_width=5000.0, **k),
+                lambda **k: NbfmMod(filter_width=5000.0, **k), step=12500),
+    "NBFM": _spec("NBFM", "analog",
+                  lambda **k: NbfmDemod(filter_width=2500.0, **k),
+                  lambda **k: NbfmMod(filter_width=2500.0, **k), step=6250),
+    "WBFM": _spec("WBFM", "analog", lambda **k: WbfmDemod(**k), None,
+                  step=100000),
+    "AM": _spec("AM", "analog", lambda **k: AmDemod(**k),
+                lambda **k: AmMod(**k), step=5000),
+    "USB": _spec("USB", "analog", lambda **k: SsbDemod(usb=True, **k),
+                 lambda **k: SsbMod(usb=True, **k), step=1000),
+    "LSB": _spec("LSB", "analog", lambda **k: SsbDemod(usb=False, **k),
+                 lambda **k: SsbMod(usb=False, **k), step=1000),
+    "BPSK2K": _spec("BPSK2K", "digital_voice",
+                    lambda **k: BpskDemod(symbol_rate=2000, **k),
+                    lambda **k: BpskMod(symbol_rate=2000, **k),
+                    framing="BPSK2K", bit_rate=2000),
+    "BPSK1K": _spec("BPSK1K", "digital_voice",
+                    lambda **k: BpskDemod(symbol_rate=1000, **k),
+                    lambda **k: BpskMod(symbol_rate=1000, **k),
+                    framing="BPSK1K", bit_rate=1000),
+    "QPSK2K": _spec("QPSK2K", "digital_voice",
+                    lambda **k: QpskDemod(symbol_rate=1000,
+                                          target_rate=40_000, **k),
+                    lambda **k: QpskMod(symbol_rate=1000, **k),
+                    framing="QPSK2K", bit_rate=2000),
+    "QPSK20K": _spec("QPSK20K", "digital_voice",
+                     lambda **k: QpskDemod(symbol_rate=10_000,
+                                           target_rate=40_000, **k),
+                     lambda **k: QpskMod(symbol_rate=10_000, **k),
+                     framing="QPSK20K", bit_rate=20000),
+    "QPSK250K": _spec("QPSK250K", "digital_data",
+                      lambda **k: QpskDemod(symbol_rate=125_000,
+                                            target_rate=500_000, **k),
+                      lambda **k: QpskMod(symbol_rate=125_000, **k),
+                      framing="QPSK250K", bit_rate=250000),
+    "2FSK2K": _spec("2FSK2K", "digital_voice",
+                    lambda **k: Fsk2Demod(symbol_rate=2000, **k),
+                    lambda **k: Fsk2Mod(symbol_rate=2000, **k),
+                    framing="2FSK2K", bit_rate=2000),
+    "2FSK1K": _spec("2FSK1K", "digital_voice",
+                    lambda **k: Fsk2Demod(symbol_rate=1000, **k),
+                    lambda **k: Fsk2Mod(symbol_rate=1000, **k),
+                    framing="2FSK1K", bit_rate=1000),
+    "GMSK2K": _spec("GMSK2K", "digital_voice",
+                    lambda **k: GmskDemod(symbol_rate=2000, **k),
+                    lambda **k: GmskMod(symbol_rate=2000, **k),
+                    framing="GMSK2K", bit_rate=2000),
+    "GMSK1K": _spec("GMSK1K", "digital_voice",
+                    lambda **k: GmskDemod(symbol_rate=1000, **k),
+                    lambda **k: GmskMod(symbol_rate=1000, **k),
+                    framing="GMSK1K", bit_rate=1000),
+    "4FSK2K": _spec("4FSK2K", "digital_voice",
+                    lambda **k: Fsk4Demod(**k), lambda **k: Fsk4Mod(**k),
+                    framing="4FSK2K", bit_rate=2000),
+}
+
+
+def get_mode(name: str) -> ModeSpec:
+    try:
+        return MODES[name]
+    except KeyError:
+        raise KeyError(f"unknown mode {name!r}; available: {sorted(MODES)}")
+
+
+def rx_chain(name: str, **kwargs):
+    spec = get_mode(name)
+    if spec.rx_factory is None:
+        raise ValueError(f"mode {name} has no RX chain")
+    return spec.rx_factory(**kwargs)
+
+
+def tx_chain(name: str, **kwargs):
+    spec = get_mode(name)
+    if spec.tx_factory is None:
+        raise ValueError(f"mode {name} is RX-only")
+    return spec.tx_factory(**kwargs)

@@ -29,7 +29,14 @@ class QuadratureDemod(Block):
     def __call__(self, state, x):
         xc = jnp.concatenate([state, x], axis=-1)
         d = xc[..., 1:] * jnp.conj(xc[..., :-1])
-        y = self.gain * jnp.arctan2(d.imag, d.real)
+        # guard squelched (exact zero) samples: arctan2(0, -0.0) == pi.
+        # Double-where so the zero branch also has a finite gradient
+        # (jnp.where alone still propagates NaN cotangents from arctan2
+        # at the origin).
+        nz = d.real * d.real + d.imag * d.imag > 0
+        d_safe = jnp.where(nz, d, jnp.complex64(1.0))
+        ang = jnp.arctan2(d_safe.imag, d_safe.real)
+        y = self.gain * jnp.where(nz, ang, 0.0)
         return xc[..., -1:], y
 
 

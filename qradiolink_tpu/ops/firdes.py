@@ -180,9 +180,9 @@ def root_raised_cosine(
 
     Every digital chain in the reference shapes with RRC (alpha 0.2-0.5,
     e.g. reference src/gr/gr_demod_qpsk.cpp RRC(0.35), gr_mod_m17.cpp
-    RRC(0.5)). Normalized to unit energy then scaled by `gain`, matching
-    the conventional firdes normalization sum(h^2) -> then scaled so the
-    peak-sample convention matches pulse shaping use.
+    RRC(0.5)). Normalized to DC gain sum(h) == gain, so using gain == sps
+    as an interpolating pulse shaper yields ~unit-amplitude waveforms for
+    unit symbols (the convention the chain scalings here assume).
     """
     ntaps |= 1  # force odd
     Ts = samp_rate / symbol_rate  # samples per symbol
@@ -203,7 +203,7 @@ def root_raised_cosine(
             )
             den = np.pi * ti * (1 - (4 * alpha * ti) ** 2)
             h[i] = num / den
-    h *= gain / np.sqrt(np.sum(h**2))
+    h *= gain / np.sum(h)
     return h.astype(np.float32)
 
 

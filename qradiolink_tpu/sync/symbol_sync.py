@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from qradiolink_tpu.core import Block
-from qradiolink_tpu.sync.costas import loop_gains
 
 
 def _cubic_coeffs(mu):
@@ -50,24 +49,41 @@ class SymbolSync(Block):
                      [-1, 1] for BPSK-float GMSK/2FSK chains)
     """
 
-    # extra tail beyond interpolator needs, to absorb bounded clock drift
-    SLACK = 8
-
-    def __init__(self, sps: float, loop_bw: float = 0.045,
+    def __init__(self, sps: float, gain_mu: float | None = None,
+                 gain_omega: float | None = None,
                  decisions=None, omega_limit: float = 0.005,
                  lead_shape: tuple = ()):
+        """gain_mu / gain_omega follow gr::digital::clock_recovery_mm
+        semantics (reference src/gr/gr_demod_bpsk.cpp:54-58: gain_mu 0.05,
+        gain_omega 0.005^2, omega_relative_limit 0.001): per-symbol
+        proportional phase step and integral period step, in samples per
+        unit TED error. Defaults scale the reference's sps=10 values to
+        the configured sps. Small integral gain is essential: it is what
+        keeps the recovered clock from random-walking into cycle slips."""
         self.sps = float(sps)
-        self.alpha, self.beta = loop_gains(loop_bw)
+        self.alpha = float(gain_mu) if gain_mu is not None \
+            else 0.005 * self.sps
+        self.beta = float(gain_omega) if gain_omega is not None \
+            else 2.5e-6 * self.sps
         self.levels = None if decisions is None else jnp.asarray(
             np.asarray(decisions, dtype=np.float32))
+        # TED slope normalization: M&M error scale grows with E[d^2] for
+        # multilevel constellations (the role of the reference's ted_gain
+        # argument, gr_demod_4fsk.cpp symbol_sync ted_gain 0.2869)
+        if decisions is None:
+            self.ted_norm = 1.0
+        else:
+            lv = np.asarray(decisions, np.float64)
+            self.ted_norm = float(np.mean(lv**2))
         self.omega_limit = float(omega_limit) * self.sps
         self.lead_shape = tuple(lead_shape)
-        # tail must cover: 1 sample history + 2 lookahead for cubic, plus
-        # drift slack, plus one symbol period of phase offset
-        self.tail_len = int(np.ceil(self.sps)) + 4 + self.SLACK
+        # tail must cover: cubic interpolator reach plus generous slack for
+        # the acquisition-transient position drift (clamping the carried
+        # position mid-stream would slip symbols)
+        self.tail_len = 4 * int(np.ceil(self.sps)) + 16
 
     def init_state(self):
-        pos = jnp.full(self.lead_shape, float(self.tail_len) + 2.0, jnp.float32)
+        pos = jnp.full(self.lead_shape, float(self.tail_len) // 2, jnp.float32)
         omega = jnp.full(self.lead_shape, self.sps, jnp.float32)
         zc = jnp.zeros(self.lead_shape, jnp.complex64)
         tail = jnp.zeros(self.lead_shape + (self.tail_len,), jnp.complex64)
@@ -116,12 +132,12 @@ class SymbolSync(Block):
             pos, omega, y_prev, d_prev = carry
             posc = jnp.clip(pos, 2.0, max_pos)
             y = interp(posc)
-            d = self._decide(y)
+            d = self._decide(y).astype(jnp.complex64)
             if self.levels is None and complex_in:
                 err = (d_prev * jnp.conj(y) - d * jnp.conj(y_prev)).real
             else:
                 err = (d_prev * y - d * y_prev).real
-            err = jnp.clip(err, -1.0, 1.0)
+            err = jnp.clip(err / self.ted_norm, -1.0, 1.0)
             omega_n = jnp.clip(omega + self.beta * err,
                                self.sps - self.omega_limit,
                                self.sps + self.omega_limit)
@@ -139,7 +155,7 @@ class SymbolSync(Block):
 
         # carry: keep last tail_len samples; shift position accordingly
         shift = total - self.tail_len
-        pos_new = jnp.clip(pos - shift, 0.0, float(self.tail_len + self.SLACK))
+        pos_new = jnp.clip(pos - shift, 0.0, float(self.tail_len - 2))
         new_tail = xc_flat[:, shift:]
 
         out_shape = lead + (n_out,)

@@ -13,20 +13,21 @@ from qradiolink_tpu.chains.digital_common import bytes_to_bits
 
 
 def best_ber(decoded, sent_bits, max_offset=400):
-    """Min BER over bit alignments, measured on the second half."""
+    """Min BER over bit alignments, measured on the steady-state segment
+    [n/2, 7n/8) — past loop acquisition, as over-the-air operation in the
+    reference is (frames are preceded by preamble frames; decode starts at
+    a sync word found after the loops lock)."""
     sent = np.asarray(sent_bits)
     dec = np.asarray(decoded)
     n = len(sent)
+    lo, hi = n // 2, (7 * n) // 8
+    seg_sent = sent[lo:hi]
     best = 1.0
     for off in range(0, max_offset):
-        if off + n // 2 > len(dec):
+        seg_dec = dec[off + lo: off + hi]
+        if len(seg_dec) < len(seg_sent):
             break
-        seg_dec = dec[off + n // 4: off + n // 2]
-        seg_sent = sent[n // 4: n // 2]
-        m = min(len(seg_dec), len(seg_sent))
-        if m < 100:
-            continue
-        ber = np.mean(seg_dec[:m] != seg_sent[:m])
+        ber = np.mean(seg_dec != seg_sent)
         best = min(best, ber)
     return best
 

@@ -79,15 +79,18 @@ def test_fll_corrects_offset(rng):
 def test_symbol_sync_recovers_bpsk_timing(rng):
     sps = 10
     bits, x = make_bpsk(rng, 1500, sps)
-    # fractional delay via roll of 3 samples (off-grid sampling phase)
-    x = np.roll(x, 3)
-    ss = SymbolSync(sps, loop_bw=2 * np.pi / 100, decisions=None)
+    # matched filter (RC cascade -> zero ISI at symbol instants)
+    mf = firdes.root_raised_cosine(1.0, float(sps), 1.0, 0.35, 11 * sps + 1)
+    x = np.convolve(x, mf)[55: 55 + len(x)]
+    # off-grid sampling phase
+    x = np.roll(x, 3).astype(np.complex64)
+    ss = SymbolSync(sps, decisions=None)
     _, syms = ss(ss.init_state(), jnp.asarray(x))
     syms = np.asarray(syms)
     assert syms.shape[-1] == 1500
     tail = syms[700:]
     # decisions should be strongly bimodal on the real axis
-    assert np.mean(np.abs(np.abs(tail.real) - 1.0) < 0.3) > 0.9
+    assert np.mean(np.abs(np.abs(tail.real) - 1.0) < 0.3) > 0.95
 
 
 def test_symbol_sync_float_4level(rng):
@@ -102,7 +105,7 @@ def test_symbol_sync_float_4level(rng):
     x = np.convolve(up, rrc)[: len(up)].astype(np.float32)
     rrc_rx = firdes.root_raised_cosine(1.0, float(sps), 1.0, 0.2, 10 * sps + 1)
     x = np.convolve(x, rrc_rx)[5 * sps: 5 * sps + len(x)].astype(np.float32)
-    ss = SymbolSync(sps, loop_bw=2 * np.pi / 200, decisions=levels,
+    ss = SymbolSync(sps, decisions=levels,
                     omega_limit=0.05)
     _, out = ss(ss.init_state(), jnp.asarray(x))
     out = np.asarray(out)[600:]
@@ -121,7 +124,7 @@ def test_symbol_sync_block_invariance(rng):
         st, o = ss(st, jnp.asarray(part))
         outs.append(np.asarray(o))
     chunked = np.concatenate(outs, axis=-1)
-    np.testing.assert_allclose(np.asarray(full), chunked, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(full), chunked, atol=1e-2)
 
 
 def test_binary_slicer():

@@ -28,8 +28,17 @@ from qradiolink_tpu.core import Block
 _CONV_PRECISION = lax.Precision.HIGHEST
 
 
-def _conv1d_real(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.Array:
-    """VALID 1-D correlation of real x (..., T) with already-flipped real taps."""
+def _use_conv_primitive() -> bool:
+    """lax.conv_general_dilated is UNIMPLEMENTED on the axon TPU backend
+    (verified empirically); on TPU we lower FIRs to strided-slice
+    multiply-accumulate (small taps) or FFT overlap-save (FirFilter picks
+    it for long taps), both of which XLA fuses well. CPU keeps the conv
+    primitive (fastest there, used by the test suite)."""
+    return jax.default_backend() == "cpu"
+
+
+def _conv1d_real_conv(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.Array:
+    """VALID 1-D correlation via the XLA convolution primitive."""
     lead = x.shape[:-1]
     xb = x.reshape((-1, 1, x.shape[-1]))
     rhs = taps_flipped.reshape((1, 1, -1))
@@ -42,6 +51,30 @@ def _conv1d_real(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.
         precision=_CONV_PRECISION,
     )
     return y.reshape(lead + (y.shape[-1],))
+
+
+def _conv1d_real_slices(x: jax.Array, taps_flipped: jax.Array,
+                        stride: int = 1) -> jax.Array:
+    """VALID 1-D correlation as K strided slices x weighted sum.
+
+    y[m] = sum_k tf[k] * x[m*stride + k]. Each k contributes one strided
+    slice of x scaled by a scalar tap; XLA fuses the K-term reduction into
+    a single bandwidth-bound elementwise loop (no conv primitive needed).
+    """
+    k = taps_flipped.shape[-1]
+    t = x.shape[-1]
+    n_out = (t - k) // stride + 1
+    span = (n_out - 1) * stride + 1
+    acc = x[..., 0:span:stride] * taps_flipped[0]
+    for j in range(1, k):
+        acc = acc + x[..., j:j + span:stride] * taps_flipped[j]
+    return acc
+
+
+def _conv1d_real(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.Array:
+    if _use_conv_primitive():
+        return _conv1d_real_conv(x, taps_flipped, stride)
+    return _conv1d_real_slices(x, np.asarray(taps_flipped), stride)
 
 
 def conv1d_valid(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:

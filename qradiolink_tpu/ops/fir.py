@@ -55,19 +55,36 @@ def _conv1d_real_conv(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) ->
 
 def _conv1d_real_slices(x: jax.Array, taps_flipped: jax.Array,
                         stride: int = 1) -> jax.Array:
-    """VALID 1-D correlation as K strided slices x weighted sum.
+    """VALID 1-D correlation as K plain slices x weighted sum.
 
-    y[m] = sum_k tf[k] * x[m*stride + k]. Each k contributes one strided
-    slice of x scaled by a scalar tap; XLA fuses the K-term reduction into
-    a single bandwidth-bound elementwise loop (no conv primitive needed).
+    y[m] = sum_k tf[k] * x[m*stride + k]. Each k contributes one slice of
+    x scaled by a scalar tap; XLA fuses the K-term reduction into a single
+    bandwidth-bound elementwise loop. No conv primitive, no strided
+    slicing (both UNIMPLEMENTED on the axon TPU backend): decimation is a
+    reshape to (n_out, stride) frames followed by frame-column picks.
     """
-    k = taps_flipped.shape[-1]
+    tf = np.asarray(taps_flipped)
+    k = tf.shape[-1]
     t = x.shape[-1]
     n_out = (t - k) // stride + 1
-    span = (n_out - 1) * stride + 1
-    acc = x[..., 0:span:stride] * taps_flipped[0]
-    for j in range(1, k):
-        acc = acc + x[..., j:j + span:stride] * taps_flipped[j]
+    if stride == 1:
+        acc = x[..., 0:n_out] * tf[0]
+        for j in range(1, k):
+            acc = acc + x[..., j:j + n_out] * tf[j]
+        return acc
+    # stride > 1: view x[j::stride] as reshape-then-column. For offset j
+    # write j = f*stride + r: frames of x[..., f*stride :] reshaped to
+    # (n_out, stride) give column r == x[j + m*stride].
+    lead = x.shape[:-1]
+    frames = {}  # f -> (..., n_out, stride)
+    acc = None
+    for j in range(k):
+        f, r = divmod(j, stride)
+        if f not in frames:
+            seg = x[..., f * stride: f * stride + n_out * stride]
+            frames[f] = seg.reshape(lead + (n_out, stride))
+        term = frames[f][..., r] * tf[j]
+        acc = term if acc is None else acc + term
     return acc
 
 

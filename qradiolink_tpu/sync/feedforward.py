@@ -1,0 +1,220 @@
+"""Feedforward (block-parallel) synchronization — the TPU-native high-rate
+path.
+
+The reference recovers timing/carrier/gain with sample-sequential feedback
+loops (gr::digital::symbol_sync, costas_loop, agc2 — SURVEY §2.2), which
+cannot batch: every output sample depends on the previous loop state. This
+module re-derives each loop as a *feedforward estimate-then-apply* pass
+(SURVEY §5 "two-pass reformulations"), so a whole IQ block is processed as
+a handful of reshapes, reductions and elementwise ops — no lax.scan, no
+gather, no FFT, no conv (none of which the axon TPU backend implements):
+
+  gain     -> per-sub-block RMS normalization (replaces agc2)
+  carrier  -> Viterbi&Viterbi M-th-power phase estimate per sub-block,
+              linear phase interpolation between sub-blocks (replaces
+              Costas/FLL)
+  timing   -> Oerder&Meyr square-law estimator: the symbol-rate spectral
+              line of |x|^2 is ONE DFT bin, computed as a dot product with
+              a host-precomputed complex exponential (replaces M&M TED);
+              applied with a cubic-Lagrange Farrow interpolator (fixed
+              branch filters, per-sample fractional delay as elementwise
+              math) and a one-hot frame-column contraction for the integer
+              symbol offset (replaces the sequential interpolator stepping)
+
+These are textbook burst-modem estimators (Oerder & Meyr 1988; Viterbi &
+Viterbi 1983); their accuracy at the chains' operating SNRs is validated by
+the loopback BER tests (tests/test_feedforward.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qradiolink_tpu.core import Block
+
+
+def block_agc(x: jax.Array, reference: float = 1.0,
+              n_sub: int = 16, eps: float = 1e-12) -> jax.Array:
+    """Feedforward AGC: normalize each of n_sub sub-blocks to `reference`
+    RMS. T must be a multiple of n_sub."""
+    t = x.shape[-1]
+    lead = x.shape[:-1]
+    sub = x.reshape(lead + (n_sub, t // n_sub))
+    rms = jnp.sqrt(jnp.mean(jnp.abs(sub) ** 2, axis=-1, keepdims=True) + eps)
+    return (sub * (reference / rms)).reshape(x.shape)
+
+
+def _subblock_phases(x: jax.Array, order: int, n_sub: int):
+    """V&V: phase of sum(x^order) per sub-block, divided by order."""
+    t = x.shape[-1]
+    lead = x.shape[:-1]
+    xm = x
+    for _ in range(int(np.log2(order))):
+        xm = xm * xm  # order is 2 or 4
+    sub = xm.reshape(lead + (n_sub, t // n_sub))
+    s = jnp.sum(sub, axis=-1)
+    return jnp.arctan2(s.imag, s.real) / order  # (..., n_sub)
+
+
+def _unwrap(ph: jax.Array, period: float) -> jax.Array:
+    """Unwrap sub-block phase estimates (few entries — log-depth cumsum
+    via host loop over the small n_sub axis is fine; implemented with a
+    prefix-sum tree of adds, no cumsum primitive)."""
+    d = ph[..., 1:] - ph[..., :-1]
+    jumps = jnp.round(d / period)
+    corr = -jumps * period
+    # prefix sum over the (small, static) sub-block axis
+    n = corr.shape[-1]
+    acc = corr
+    shift = 1
+    while shift < n:
+        pad = jnp.zeros(corr.shape[:-1] + (shift,), corr.dtype)
+        acc = acc + jnp.concatenate([pad, acc[..., :-shift]], axis=-1)
+        shift *= 2
+    return jnp.concatenate([ph[..., :1], ph[..., 1:] + acc], axis=-1)
+
+
+def vv_carrier_correct(x: jax.Array, order: int = 2, n_sub: int = 16):
+    """Viterbi&Viterbi carrier recovery: estimate residual carrier phase
+    per sub-block from x^order, linearly interpolate the phase over time,
+    and derotate. Returns (corrected, phases). Handles frequency offsets
+    up to ~ order-ambiguity-limited slew per sub-block."""
+    t = x.shape[-1]
+    ph = _subblock_phases(x, order, n_sub)           # (..., n_sub)
+    ph = _unwrap(ph, 2 * np.pi / order)
+    # piecewise-linear phase at every sample: sub-block centers as knots
+    ls = t // n_sub
+    centers = (jnp.arange(n_sub, dtype=jnp.float32) + 0.5) * ls
+    tt = jnp.arange(t, dtype=jnp.float32)
+    # segment index per sample (static; computed via comparison sum)
+    seg = jnp.clip(((tt - centers[0]) / ls), 0, n_sub - 1 - 1e-6)
+    i0 = jnp.floor(seg)
+    frac = seg - i0
+    # select knot phases without gather: one-hot matmul over n_sub.
+    # ph (..., n_sub) @ oh.T (n_sub, t) -> (..., t)
+    ar = jnp.arange(n_sub, dtype=jnp.float32)
+    oh0 = (i0[:, None] == ar[None, :]).astype(ph.dtype)
+    oh1 = ((i0 + 1)[:, None] == ar[None, :]).astype(ph.dtype)
+    p0 = ph @ oh0.T
+    p1 = ph @ oh1.T
+    phase_t = p0 + frac * (p1 - p0)
+    rot = jnp.cos(phase_t) - 1j * jnp.sin(phase_t)
+    return x * rot.astype(jnp.complex64), ph
+
+
+def om_timing_estimate(x: jax.Array, sps: int, n_sub: int = 4) -> jax.Array:
+    """Oerder&Meyr: per-sub-block symbol-timing offset in samples [0, sps).
+
+    tau = -sps/(2*pi) * arg( sum_n |x[n]|^2 exp(-j 2 pi n / sps) ) — one
+    DFT bin evaluated as a dot product with a precomputed exponential.
+    """
+    t = x.shape[-1]
+    lead = x.shape[:-1]
+    ls = t // n_sub
+    p = (jnp.abs(x) ** 2).reshape(lead + (n_sub, ls))
+    n = np.arange(ls, dtype=np.float64)
+    w = np.exp(-2j * np.pi * n / sps).astype(np.complex64)
+    # sub-block start offsets shift the reference phase; compensate
+    starts = np.arange(n_sub, dtype=np.float64) * ls
+    w0 = np.exp(-2j * np.pi * starts / sps).astype(np.complex64)
+    s = (p.astype(jnp.complex64) @ w) * w0
+    tau = (-float(sps) / (2 * np.pi)) * jnp.arctan2(s.imag, s.real)
+    return jnp.mod(tau, float(sps))  # (..., n_sub)
+
+
+# cubic Lagrange Farrow branch filters over points [-1, 0, 1, 2]:
+# y(n+mu) = sum_p mu^p * (c_p . x[n-1 : n+3])
+_FARROW_C = np.array([
+    [0.0, 1.0, 0.0, 0.0],                      # mu^0
+    [-1 / 3, -1 / 2, 1.0, -1 / 6],             # mu^1
+    [1 / 2, -1.0, 1 / 2, 0.0],                 # mu^2
+    [-1 / 6, 1 / 2, -1 / 2, 1 / 6],            # mu^3
+], dtype=np.float32)
+
+
+def farrow_delay(x: jax.Array, mu: jax.Array) -> jax.Array:
+    """Fractional-delay resample: y[n] = x(n + mu[n]), mu in [0, 1).
+
+    Four fixed 4-tap branch FIRs + a per-sample cubic in mu. Output length
+    T-3 (needs one sample of history and two of lookahead relative to n).
+    y[n] uses x[n-1..n+2] evaluated at position n+mu.
+    """
+    t = x.shape[-1]
+    n_out = t - 3
+    win = [x[..., i: i + n_out] for i in range(4)]  # x[n-1+i] for out n
+    branches = []
+    for p in range(4):
+        c = _FARROW_C[p]
+        b = win[0] * c[0] + win[1] * c[1] + win[2] * c[2] + win[3] * c[3]
+        branches.append(b)
+    mu = mu[..., :n_out]
+    acc = branches[3]
+    for p in (2, 1, 0):
+        acc = acc * mu + branches[p]
+    return acc
+
+
+def symbol_pick(y: jax.Array, tau_int: jax.Array, sps: int) -> jax.Array:
+    """Pick one sample per symbol period at integer offset tau_int (per
+    sub-block) via one-hot frame-column contraction — no gather.
+
+    y: (..., S, Ns*sps) per-sub-block samples; tau_int: (..., S) in
+    [0, sps). Returns (..., S, Ns) symbols.
+    """
+    lead = y.shape[:-1]
+    ns = y.shape[-1] // sps
+    frames = y.reshape(lead + (ns, sps))
+    oh = (tau_int[..., None] ==
+          jnp.arange(sps, dtype=tau_int.dtype)).astype(y.real.dtype)
+    # contract the sps axis: (..., S, Ns, sps) * (..., S, 1, sps) -> sum
+    return jnp.sum(frames * oh[..., None, :], axis=-1)
+
+
+class FeedforwardSymbolSync(Block):
+    """Block-parallel symbol timing recovery (O&M + Farrow).
+
+    Consumes T samples at `sps` samples/symbol, emits T//sps symbols.
+    Timing is estimated per sub-block and applied with a fractional
+    (Farrow) plus integer (one-hot pick) correction. State carries the
+    previous block's 4-sample tail so outputs are continuous; unlike the
+    feedback SymbolSync there is no loop state to converge — acquisition
+    is instant, which is also why this is the high-rate path.
+    """
+
+    def __init__(self, sps: int, n_sub: int = 4, lead_shape: tuple = ()):
+        self.sps = int(sps)
+        self.n_sub = int(n_sub)
+        self.lead_shape = tuple(lead_shape)
+        self.tail_len = 4
+
+    def init_state(self):
+        return jnp.zeros(self.lead_shape + (self.tail_len,), jnp.complex64)
+
+    def __call__(self, state, x):
+        sps, s = self.sps, self.n_sub
+        xc = jnp.concatenate([state.astype(x.dtype)
+                              if jnp.iscomplexobj(x)
+                              else state.real.astype(x.dtype), x], axis=-1)
+        t = x.shape[-1]
+        lead = x.shape[:-1]
+        assert t % (s * sps) == 0, "block must divide into n_sub*sps"
+        tau = om_timing_estimate(x, sps, n_sub=s)      # (..., s)
+        # farrow_delay output is y[n] = x(n - 3 + mu) (4-sample history
+        # tail, interpolation centered one past the window start), so the
+        # pick offset compensates with +3 before wrapping into [0, sps)
+        tau = jnp.mod(tau + 3.0, float(sps))
+        tau_i = jnp.floor(tau)
+        mu = tau - tau_i                                # fractional part
+        # per-sample mu: constant within each sub-block
+        ls = t // s
+        mu_t = jnp.repeat(mu, ls, axis=-1, total_repeat_length=t)
+        y = farrow_delay(xc, jnp.concatenate(
+            [mu_t, mu_t[..., -3:]], axis=-1))           # (..., t+1)
+        y = y[..., :t]
+        ysub = y.reshape(lead + (s, ls))
+        syms = symbol_pick(ysub, tau_i, sps)            # (..., s, ls/sps)
+        syms = syms.reshape(lead + (t // sps,))
+        new_tail = xc[..., xc.shape[-1] - self.tail_len:].astype(jnp.complex64)
+        return new_tail, syms

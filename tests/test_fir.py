@@ -86,3 +86,29 @@ def test_fir_batched(rng):
     for i in range(3):
         np.testing.assert_allclose(np.asarray(y)[i], ref_fir(x[i], h),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_slices_backend_matches_conv(rng):
+    """The TPU (conv-free) backend must match the conv primitive exactly."""
+    from qradiolink_tpu.ops.fir import _conv1d_real_conv, _conv1d_real_slices
+    import jax.numpy as jnp
+    x = rng.standard_normal(512).astype(np.float32)
+    taps = rng.standard_normal(33).astype(np.float32)
+    for stride in (1, 2, 5, 7):
+        a = np.asarray(_conv1d_real_conv(jnp.asarray(x), jnp.asarray(taps),
+                                         stride))
+        b = np.asarray(_conv1d_real_slices(jnp.asarray(x), taps, stride))
+        assert a.shape == b.shape, (stride, a.shape, b.shape)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_slices_backend_batched(rng):
+    from qradiolink_tpu.ops.fir import _conv1d_real_conv, _conv1d_real_slices
+    import jax.numpy as jnp
+    x = rng.standard_normal((3, 4, 500)).astype(np.float32)
+    taps = rng.standard_normal(21).astype(np.float32)
+    for stride in (1, 4):
+        a = np.asarray(_conv1d_real_conv(jnp.asarray(x), jnp.asarray(taps),
+                                         stride))
+        b = np.asarray(_conv1d_real_slices(jnp.asarray(x), taps, stride))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -31,7 +31,27 @@ State = Any
 Array = jax.Array
 
 
-class Block:
+class _BuildOnHost(type):
+    """Metaclass running Block constructors with the CPU as default device.
+
+    Hyperparameter arrays (filter taps, symbol maps) created with jnp.* in
+    constructors become host-backed constants. When a chain is later traced
+    for an accelerator, XLA embeds them as literals — which requires a
+    device->host copy if they lived on the accelerator, an operation the
+    axon TPU backend does not implement. Host-backed constants avoid that
+    and also keep construction (tap design) off the device entirely.
+    """
+
+    def __call__(cls, *args, **kwargs):
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # pragma: no cover - cpu platform always exists
+            return super().__call__(*args, **kwargs)
+        with jax.default_device(cpu):
+            return super().__call__(*args, **kwargs)
+
+
+class Block(metaclass=_BuildOnHost):
     """Base class for streaming DSP blocks.
 
     Subclasses implement:

@@ -63,7 +63,13 @@ def _conv1d_real_slices(x: jax.Array, taps_flipped: jax.Array,
     slicing (both UNIMPLEMENTED on the axon TPU backend): decimation is a
     reshape to (n_out, stride) frames followed by frame-column picks.
     """
-    tf = np.asarray(taps_flipped)
+    # concrete taps become numpy so each tf[j] is a Python scalar (constant
+    # folded); traced taps (e.g. flipped under jit) stay traced — tf[j] is
+    # then a 0-d tracer, which multiplies fine.
+    if isinstance(taps_flipped, jax.core.Tracer):
+        tf = taps_flipped
+    else:
+        tf = np.asarray(taps_flipped)
     k = tf.shape[-1]
     t = x.shape[-1]
     n_out = (t - k) // stride + 1
@@ -76,6 +82,14 @@ def _conv1d_real_slices(x: jax.Array, taps_flipped: jax.Array,
     # write j = f*stride + r: frames of x[..., f*stride :] reshaped to
     # (n_out, stride) give column r == x[j + m*stride].
     lead = x.shape[:-1]
+    # the frame slab for the largest offset f can extend up to stride-1
+    # elements past the end of x (those columns are never read) — pad so
+    # the reshape is always total
+    max_f = (k - 1) // stride
+    need = max_f * stride + n_out * stride
+    if need > t:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, need - t)]
+        x = jnp.pad(x, pad)
     frames = {}  # f -> (..., n_out, stride)
     acc = None
     for j in range(k):
@@ -91,7 +105,7 @@ def _conv1d_real_slices(x: jax.Array, taps_flipped: jax.Array,
 def _conv1d_real(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.Array:
     if _use_conv_primitive():
         return _conv1d_real_conv(x, taps_flipped, stride)
-    return _conv1d_real_slices(x, np.asarray(taps_flipped), stride)
+    return _conv1d_real_slices(x, taps_flipped, stride)
 
 
 def conv1d_valid(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:

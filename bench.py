@@ -25,17 +25,23 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from qradiolink_tpu.chains.fsk import Fsk4Demod
+    from qradiolink_tpu.chains.fsk import Fsk4DemodFF
+    from qradiolink_tpu.core import device_init_state, put_iq
 
     platform = jax.devices()[0].platform
     # channels batched to saturate the chip; modest on CPU so CI stays fast
     n_ch = 64 if platform == "tpu" else 4
     t = 200_000  # 200 ms at 1 Msps per channel per step
 
-    chain = Fsk4Demod(lead_shape=(n_ch,))
-    state = chain.init_state()
+    # the TPU-native chain: feedforward symbol sync + tiled Viterbi (no
+    # scan/gather — see chains/fsk.py Fsk4DemodFF); loopback-BER-verified
+    # against the same TX as the feedback chain in tests/test_chains_digital
+    chain = Fsk4DemodFF(lead_shape=(n_ch,))
+    # state created ON device by a jitted program and IQ transferred as f32
+    # planes: the axon backend cannot device_put complex64 (see core.py)
+    state = device_init_state(chain)
     rng = np.random.default_rng(0)
-    iq = jnp.asarray(
+    iq = put_iq(
         (rng.standard_normal((n_ch, t)) + 1j * rng.standard_normal((n_ch, t)))
         .astype(np.complex64) * 0.1)
 

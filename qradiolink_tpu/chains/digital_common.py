@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from qradiolink_tpu.core import Block, Sequencer, init_states
 from qradiolink_tpu.fec.conv import CCSDS_K7, conv_encode, StreamingViterbi
+from qradiolink_tpu.fec.conv_ff import TiledViterbi
 from qradiolink_tpu.fec.scrambler import Scrambler, Descrambler
 
 
@@ -87,6 +88,34 @@ class RxFecTail(Block):
 
     def __init__(self, lag: int = 64, lead_shape: tuple = ()):
         self.viterbi = StreamingViterbi(CCSDS_K7, lag=lag, lead_shape=lead_shape)
+        self.descrambler = Descrambler(lead_shape=lead_shape)
+
+    def init_state(self):
+        return (self.viterbi.init_state(), self.descrambler.init_state())
+
+    def __call__(self, state, soft):
+        vstate, dstate = state
+        pairs = soft.reshape(*soft.shape[:-1], soft.shape[-1] // 2, 2)
+        vstate, bits = self.viterbi(vstate, pairs)
+        dstate, out = self.descrambler(dstate, bits)
+        return (vstate, dstate), out
+
+
+class RxFecTailFF(Block):
+    """Block-parallel RX FEC tail: tiled Viterbi + feedforward descrambler.
+
+    Functionally equivalent to RxFecTail (same CCSDS code, same
+    descrambler) but with no sequential scan: the TPU-native path for
+    high-rate chains and the headline bench (see fec/conv_ff.py).
+    Emits bits for this block's symbols with `overlap` symbols of decode
+    delay absorbed into the tile context, so output length == T as with
+    RxFecTail.
+    """
+
+    def __init__(self, chunk: int = 128, overlap: int = 32,
+                 lead_shape: tuple = ()):
+        self.viterbi = TiledViterbi(CCSDS_K7, chunk=chunk, overlap=overlap,
+                                    lead_shape=lead_shape)
         self.descrambler = Descrambler(lead_shape=lead_shape)
 
     def init_state(self):

@@ -27,8 +27,9 @@ from qradiolink_tpu.ops.resample import RationalResampler
 from qradiolink_tpu.ops.analog import QuadratureDemod, FrequencyMod
 from qradiolink_tpu.ops.spectrum import rssi_dbm
 from qradiolink_tpu.sync.symbol_sync import SymbolSync
+from qradiolink_tpu.sync.feedforward import FeedforwardSymbolSync
 from qradiolink_tpu.chains.digital_common import (
-    TxFecHead, RxFecTail, bytes_to_bits, pack_dibits)
+    TxFecHead, RxFecTail, RxFecTailFF, bytes_to_bits, pack_dibits)
 
 _4FSK_LEVELS = (-1.5, -0.5, 0.5, 1.5)
 _4FSK_MAP = (0, 1, 3, 2)  # Gray map, reference gr_mod_4fsk.cpp map
@@ -84,6 +85,68 @@ class Fsk4Demod(Block):
         syms = seq(self.symbol_sync, x)
         # phase_mod(pi/2) projection -> (sin, cos) soft pair per symbol
         # (the reference's FM-variant interleave order is [imag, real])
+        ph = (np.pi / 2) * syms
+        soft = jnp.stack([jnp.sin(ph), jnp.cos(ph)], axis=-1)
+        soft = soft.reshape(*syms.shape[:-1], syms.shape[-1] * 2)
+        soft = jnp.clip(soft * 128.0 + 128.0, 0.0, 255.0)
+        const_tap = jnp.exp(1j * ph).astype(jnp.complex64)
+        bits = seq(self.fec_tail, soft)
+        return seq.states(), {"bits": bits, "constellation": const_tap,
+                              "rssi": rssi, "symbols": syms}
+
+
+class Fsk4DemodFF(Block):
+    """TPU-path 4FSK demod: feedforward timing + tiled Viterbi.
+
+    Same front half as Fsk4Demod (resampler -> channel LP -> quad demod
+    -> RRC); the sequential symbol-sync and Viterbi scans are replaced by
+    the block-parallel FeedforwardSymbolSync (Oerder&Meyr + Farrow, see
+    sync/feedforward.py) and TiledViterbi (overlapped-tile ACS, see
+    fec/conv_ff.py) so the whole chain is reshapes/elementwise/matmul —
+    no lax.scan — and batches across channels AND time. This is the
+    headline-bench path (BASELINE >=10x real-time/chip on the 4FSK chain;
+    reference chain: src/gr/gr_demod_4fsk.cpp:32-205, sps=5 config).
+
+    Block length must be a multiple of 50 * n_sub * sps = 2000.
+    """
+    SAMP_RATE = 1_000_000
+    TARGET_RATE = 20_000
+    SYMBOL_RATE = 2_000
+
+    def __init__(self, filter_width: float = 4000.0, lead_shape: tuple = (),
+                 n_sub: int = 4):
+        ls = tuple(lead_shape)
+        fs = self.TARGET_RATE
+        self.sps = fs // self.SYMBOL_RATE  # 10
+        self.resamp = RationalResampler(
+            1, 50, taps=firdes.low_pass(1.0, self.SAMP_RATE, 10_000.0,
+                                        10_000.0, firdes.WIN_BLACKMAN_HARRIS),
+            lead_shape=ls)
+        self.chan_filter = FirFilter(
+            firdes.low_pass(1.0, fs, filter_width, filter_width / 2,
+                            firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
+        self.quad = QuadratureDemod(self.sps / np.pi, lead_shape=ls)
+        self.shaping = FirFilter(
+            firdes.root_raised_cosine(1.5, fs, self.SYMBOL_RATE, 0.2,
+                                      25 * self.sps + 1), lead_shape=ls)
+        self.symbol_sync = FeedforwardSymbolSync(self.sps, n_sub=n_sub,
+                                                 lead_shape=ls)
+        self.fec_tail = RxFecTailFF(lead_shape=ls)
+        self.blocks = [self.resamp, self.chan_filter, self.quad, self.shaping,
+                       self.symbol_sync, self.fec_tail]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, iq):
+        seq = Sequencer(state)
+        x = seq(self.resamp, iq)
+        x = seq(self.chan_filter, x)
+        rssi = rssi_dbm(x)
+        x = seq(self.quad, x)
+        x = seq(self.shaping, x)
+        syms = seq(self.symbol_sync, x)
+        syms = syms.real
         ph = (np.pi / 2) * syms
         soft = jnp.stack([jnp.sin(ph), jnp.cos(ph)], axis=-1)
         soft = soft.reshape(*syms.shape[:-1], syms.shape[-1] * 2)

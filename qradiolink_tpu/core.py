@@ -151,6 +151,43 @@ def init_states(blocks: Sequence[Block]) -> State:
     return tuple(b.init_state() for b in blocks)
 
 
+def device_init_state(block: Block) -> State:
+    """Materialize a block's initial state on the default device via a
+    jitted program.
+
+    The axon TPU backend does not implement host->device transfer of
+    complex64 arrays (device_put of complex poisons the device stream for
+    the whole process), but complex arrays *computed by* an XLA program —
+    including jnp.zeros constants inside jit — work fine. Any state
+    pytree with complex leaves headed for the TPU must be created this
+    way rather than by calling init_state() eagerly.
+    """
+    return jax.jit(block.init_state)()
+
+
+def put_iq(x) -> Array:
+    """Transfer a complex IQ array to the default device.
+
+    Complex64 device_put is UNIMPLEMENTED on the axon TPU backend, so the
+    real and imaginary planes are transferred as float32 and recombined
+    on-device by a tiny jitted program. Works identically (if needlessly)
+    on CPU.
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    r = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    i = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return _combine_iq(r, i)
+
+
+@jax.jit
+def _combine_iq(r: Array, i: Array) -> Array:
+    return jax.lax.complex(r, i)
+
+
 def run_stream(block: Block, chunks: Iterable[Array], state: State = None):
     """Host-side streaming loop: feed successive chunks through `block`.
 

@@ -52,6 +52,7 @@ class FrameConfig:
     bit_buf_len: int      # bits collected after sync (_bit_buf_len)
     narrowband: bool      # "1K" modes: 1-byte voice sync, no reserved byte
     data_mode: bool = False  # IP/video modes hunt IP/VIDEO/END only
+    m17_mode: bool = False   # M17: 16-bit LSF/STREAM syncs, 46-byte frames
 
 
 # mode name -> framing config (reference src/gr_modem.cpp:105-322)
@@ -75,6 +76,8 @@ MODE_FRAME_CONFIG = {
     "QPSK20K": FrameConfig(47, 48 * 8, False),
     "QPSK250K": FrameConfig(1516, 1517 * 8, False, data_mode=True),
     "QPSKVideo": FrameConfig(3122, 3123 * 8, False, data_mode=True),
+    # reference src/gr_modem.cpp:309-313 (rx_frame_length 46, bit_buf 46*8)
+    "M17": FrameConfig(46, 46 * 8, False, m17_mode=True),
 }
 
 
@@ -139,7 +142,11 @@ class Deframer:
     def __init__(self, mode: str):
         self.mode = mode
         self.cfg = MODE_FRAME_CONFIG[mode]
-        if self.cfg.narrowband:
+        if self.cfg.m17_mode:
+            # reference gr_modem::findSync M17 branch (gr_modem.cpp:1187-1210)
+            self.sync_set = [FrameType.M17_LSF, FrameType.M17_STREAM,
+                             FrameType.M17_EOT]
+        elif self.cfg.narrowband:
             self.sync_set = [FrameType.VOICE_1]
         elif self.cfg.data_mode:
             self.sync_set = [FrameType.IP, FrameType.VIDEO, FrameType.END]
@@ -181,6 +188,12 @@ class Deframer:
                         hit_type = ft
             if hit is None:
                 break
+            if hit_type == FrameType.M17_EOT:
+                # EOT marker carries no payload (gr_modem.cpp:1203-1206)
+                frames.append((hit_type, b""))
+                self.frames_synced += 1
+                pos = hit + 1
+                continue
             # collect bit_buf_len bits after the sync word
             bb = self.cfg.bit_buf_len
             is_voice = hit_type in (FrameType.VOICE_1, FrameType.VOICE_2)

@@ -29,11 +29,17 @@ _CONV_PRECISION = lax.Precision.HIGHEST
 
 
 def _use_conv_primitive() -> bool:
-    """lax.conv_general_dilated is UNIMPLEMENTED on the axon TPU backend
-    (verified empirically); on TPU we lower FIRs to strided-slice
-    multiply-accumulate (small taps) or FFT overlap-save (FirFilter picks
-    it for long taps), both of which XLA fuses well. CPU keeps the conv
-    primitive (fastest there, used by the test suite)."""
+    """Backend dispatch for the FIR inner loop.
+
+    The axon TPU backend now implements lax.conv_general_dilated
+    (verified empirically 2026-08; earlier revisions did not), but LARGE
+    single FFTs remain UNIMPLEMENTED (complex FFT over ~256k points fails
+    at runtime), so FirFilter's "auto" never picks the fft impl on TPU.
+    CPU keeps the conv primitive (fastest there, used by the test suite);
+    TPU uses the slice multiply-accumulate form, which XLA fuses into a
+    single bandwidth-bound loop and which benchmarked faster than the
+    conv primitive through this backend.
+    """
     return jax.default_backend() == "cpu"
 
 
@@ -181,7 +187,11 @@ class FirFilter(Block):
         self.complex_taps = np.iscomplexobj(taps)
         self.lead_shape = tuple(lead_shape)
         if impl == "auto":
-            impl = "fft" if (self.ntaps > 96 and self.decim <= 2) else "conv"
+            # fft overlap-save only where the backend supports long FFTs
+            # (axon TPU: complex FFT over >~128k points is UNIMPLEMENTED)
+            use_fft = (self.ntaps > 96 and self.decim <= 2
+                       and jax.default_backend() == "cpu")
+            impl = "fft" if use_fft else "conv"
         self.impl = impl
 
     def init_state(self):

@@ -91,3 +91,23 @@ def test_fsk2_clean_loopback():
     sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
     ber = min(best_ber(out["bits"], sent), best_ber(out["bits_alt"], sent))
     assert ber < 0.01, f"2FSK clean BER {ber}"
+
+
+def test_fsk4_ff_clean_loopback():
+    """TPU-path 4FSK chain (feedforward sync + tiled Viterbi): clean BER.
+
+    This is the benched chain (bench.py) — its correctness must be proven
+    by the same loopback the feedback chain passes."""
+    from qradiolink_tpu.chains.fsk import Fsk4DemodFF
+    data, out = loopback(Fsk4Mod(), Fsk4DemodFF(), n_bytes=250, snr_db=None)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = best_ber(out["bits"], sent)
+    assert ber < 0.01, f"4FSK FF clean BER {ber}"
+
+
+def test_fsk4_ff_awgn_loopback():
+    from qradiolink_tpu.chains.fsk import Fsk4DemodFF
+    data, out = loopback(Fsk4Mod(), Fsk4DemodFF(), n_bytes=250, snr_db=12.0)
+    sent = np.asarray(bytes_to_bits(jnp.asarray(data)))
+    ber = best_ber(out["bits"], sent)
+    assert ber < 0.02, f"4FSK FF 12dB BER {ber}"

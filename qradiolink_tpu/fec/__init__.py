@@ -12,4 +12,5 @@ from qradiolink_tpu.fec.conv import (  # noqa: F401
     ConvCode, CCSDS_K7, conv_encode, viterbi_decode,
 )
 from qradiolink_tpu.fec.scrambler import Scrambler, Descrambler  # noqa: F401
+from qradiolink_tpu.fec import bptc, rs129, trellis34  # noqa: F401
 from qradiolink_tpu.fec.crc import crc32, crc16_ccitt, crc16_m17, crc8, crc9_dmr  # noqa: F401

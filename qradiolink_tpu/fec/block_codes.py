@@ -130,13 +130,22 @@ class BlockCode:
 
     def decode(self, r: jnp.ndarray):
         """r: (..., n) bits -> (corrected data (..., k), ok (...,) bool)."""
+        c, ok = self.decode_codeword(r)
+        return c[..., : self.k], ok
+
+    def decode_codeword(self, r: jnp.ndarray):
+        """r: (..., n) bits -> (corrected codeword (..., n), ok (...,) bool).
+
+        Used by product codes (BPTC) that iterate row/column corrections
+        over the full codeword rather than extracting data immediately.
+        """
         s_bits = (r.astype(jnp.int32) @ self.Ht) % 2
         w = (1 << jnp.arange(self.Ht.shape[-1], dtype=jnp.int32))
         s = jnp.sum(s_bits * w, axis=-1)
         e = self.err_table[s]
         ok = self.ok_table[s]
         c = jnp.bitwise_xor(r.astype(jnp.uint8), e)
-        return c[..., : self.k], ok
+        return c, ok
 
 
 # ---------------------------------------------------------------------------

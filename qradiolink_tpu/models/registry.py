@@ -19,6 +19,8 @@ from qradiolink_tpu.chains.fsk import (
     Fsk4Demod, Fsk4Mod, Fsk2Demod, Fsk2Mod, GmskDemod, GmskMod)
 from qradiolink_tpu.chains.psk import (
     BpskDemod, BpskMod, QpskDemod, QpskMod)
+from qradiolink_tpu.chains.m17 import M17Demod, M17Mod
+from qradiolink_tpu.chains.dmr import DmrDemod, DmrMod
 
 
 @dataclass(frozen=True)
@@ -93,6 +95,12 @@ MODES = {
     "4FSK2K": _spec("4FSK2K", "digital_voice",
                     lambda **k: Fsk4Demod(**k), lambda **k: Fsk4Mod(**k),
                     framing="4FSK2K", bit_rate=2000),
+    "M17": _spec("M17", "digital_voice",
+                 lambda **k: M17Demod(**k), lambda **k: M17Mod(**k),
+                 framing="M17", bit_rate=9600),
+    "DMR": _spec("DMR", "digital_voice",
+                 lambda **k: DmrDemod(**k), lambda **k: DmrMod(**k),
+                 bit_rate=9600),
 }
 
 

@@ -1,0 +1,137 @@
+"""App-layer tests: RadioController RX/TX orchestration, watchdogs, CLI
+rx/tx file paths — the reference's RadioController behaviors
+(radiocontroller.cpp:246-366) exercised offline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qradiolink_tpu.config import Settings, RadioChannels, MemoryChannel
+from qradiolink_tpu.app.controller import RadioController
+from qradiolink_tpu.app.cli import main as cli_main
+from qradiolink_tpu.framing.layer1 import FrameType
+from qradiolink_tpu.io.iq import write_iq
+from qradiolink_tpu.io.wav import read_wav
+
+
+def _text_transmission(ctl, text, preamble=30, flush=50_000):
+    pre = ctl._framer.frame(b"\xaa" * 64, FrameType.VOICE_2) * preamble
+    return np.concatenate([
+        ctl.tx_bytes(pre), ctl.tx_text(text),
+        np.zeros(flush, np.complex64)])
+
+
+def test_controller_text_roundtrip():
+    s = Settings()
+    s.rx_mode = s.tx_mode = "4FSK2K"
+    tx = RadioController(s)
+    tx.toggle_tx_mode("4FSK2K")
+    tx.start_transmission()
+    iq = _text_transmission(tx, "hello tpu radio")
+    rx = RadioController(s)
+    rx.toggle_rx_mode("4FSK2K")
+    block = 125_000
+    iq = np.concatenate([iq, np.zeros((-len(iq)) % block, np.complex64)])
+    got, ended = [], False
+    for ev in rx.run_rx(iq.reshape(-1, block)):
+        if ev.kind == "text":
+            got.append(ev.text)
+        if ev.kind == "receive_end":
+            ended = True
+    assert "hello tpu radio" in "".join(got)
+    assert ended
+
+
+def test_controller_rx_watchdog():
+    """No decoded data for rx_timeout_ms after a reception starts ->
+    receive_end fires (radiocontroller.cpp:336-340)."""
+    s = Settings()
+    s.rx_mode = s.tx_mode = "4FSK2K"
+    s.rx_timeout_ms = 200
+    tx = RadioController(s)
+    tx.toggle_tx_mode("4FSK2K")
+    tx.start_transmission()
+    pre = tx._framer.frame(b"\xaa" * 64, FrameType.VOICE_2) * 30
+    # voice frames then silence — no END frame is ever sent
+    iq = np.concatenate([tx.tx_bytes(pre),
+                         np.zeros(600_000, np.complex64)])
+    rx = RadioController(s)
+    rx.toggle_rx_mode("4FSK2K")
+    block = 125_000
+    iq = np.concatenate([iq, np.zeros((-len(iq)) % block, np.complex64)])
+    kinds = [ev.kind for ev in rx.run_rx(iq.reshape(-1, block))]
+    assert "receive_end" in kinds           # watchdog fired without END
+
+
+def test_controller_tot_timer():
+    s = Settings()
+    s.tx_mode = "FM"
+    s.tot_seconds = 0.5
+    ctl = RadioController(s)
+    ctl.toggle_tx_mode("FM")
+    ctl.start_transmission()
+    pcm = np.zeros(8000, np.float32)
+    for _ in range(2):
+        out = ctl.tx_audio_block(pcm)
+    assert not ctl.transmitting              # TOT ended the transmission
+
+
+def test_controller_vox_gate():
+    s = Settings()
+    s.tx_mode = "FM"
+    s.vox_level = 0.1
+    ctl = RadioController(s)
+    ctl.toggle_tx_mode("FM")
+    ctl.start_transmission()
+    silent = np.zeros(8000, np.float32)
+    assert ctl.tx_audio_block(silent) is None
+    loud = 0.5 * np.sin(2 * np.pi * 800 * np.arange(8000) / 8000
+                        ).astype(np.float32)
+    assert ctl.tx_audio_block(loud) is not None
+
+
+def test_cli_tx_rx_nbfm_to_wav(tmp_path):
+    """CLI demodulates a recorded NBFM IQ file to WAV (VERDICT item 5
+    acceptance)."""
+    iq_path = tmp_path / "fm.cf32"
+    wav_path = tmp_path / "out.wav"
+    # TX an 800 Hz tone via the CLI tx path would need a wav; make one
+    t = np.arange(24_000) / 8000.0
+    tone = (0.5 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)
+    from qradiolink_tpu.io.wav import write_wav
+    write_wav(tmp_path / "in.wav", tone, 8000)
+    rc = cli_main(["tx", "--mode", "FM", "--wav-in", str(tmp_path / "in.wav"),
+                   "--iq-out", str(iq_path)])
+    assert rc == 0
+    rc = cli_main(["rx", "--mode", "FM", "--iq-in", str(iq_path),
+                   "--wav-out", str(wav_path)])
+    assert rc == 0
+    audio, rate = read_wav(wav_path)
+    assert rate == 8000 and audio.size > 8000
+    # the tone survives the TX->RX cycle
+    x = audio[4000:]
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    f = np.fft.rfftfreq(len(x), 1 / 8000)
+    band = (f > 200) & (f < 3000)
+    assert abs(f[band][np.argmax(spec[band])] - 800.0) < 40.0
+
+
+def test_scan_memory_channels():
+    s = Settings()
+    ctl = RadioController(s)
+    chans = RadioChannels([
+        MemoryChannel("quiet", 433_000_000, 0, "FM", "FM", squelch_db=-60.0),
+        MemoryChannel("active", 434_000_000, 0, "FM", "FM", squelch_db=-60.0)])
+
+    def iq_source(ch):
+        rng = np.random.default_rng(1)
+        n = 125_000
+        if ch.name == "active":   # strong carrier
+            t = np.arange(n) / 1e6
+            yield (0.7 * np.exp(2j * np.pi * 1000 * t)).astype(np.complex64)
+        else:                      # noise floor
+            yield (1e-4 * (rng.standard_normal(n) + 1j *
+                           rng.standard_normal(n))).astype(np.complex64)
+
+    hit = ctl.scan_memory_channels(chans, iq_source, blocks_per_channel=1)
+    assert hit is not None and hit.name == "active"

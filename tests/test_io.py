@@ -1,0 +1,154 @@
+"""io layer tests: IQ formats/files/UDP, WAV, MMDVM wire format, TDMA
+slot clock, config persistence."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from qradiolink_tpu.io.iq import (
+    read_iq, write_iq, IqFileSource, UdpIqSource, UdpIqSink, SignalSource)
+from qradiolink_tpu.io.wav import read_wav, write_wav
+from qradiolink_tpu.io import mmdvm_transport as mt
+from qradiolink_tpu.framing import tdma
+from qradiolink_tpu.config import Settings, RadioChannels, MemoryChannel
+
+
+@pytest.mark.parametrize("fmt,tol", [("cf32", 1e-7), ("cs16", 1e-4),
+                                     ("cu8", 1e-2)])
+def test_iq_file_roundtrip(fmt, tol, tmp_path):
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)) \
+        .astype(np.complex64) * 0.2
+    x = np.clip(x.real, -0.99, 0.99) + 1j * np.clip(x.imag, -0.99, 0.99)
+    p = tmp_path / f"sig.{fmt}"
+    write_iq(p, x, fmt)
+    y = read_iq(p, fmt)
+    np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_iq_file_source_blocks(tmp_path):
+    x = np.arange(1050, dtype=np.complex64)
+    p = tmp_path / "sig.cf32"
+    write_iq(p, x)
+    blocks = list(IqFileSource(p, 500))
+    assert len(blocks) == 3
+    np.testing.assert_array_equal(blocks[0], x[:500])
+    # last block zero-padded
+    assert np.all(blocks[2][50:] == 0)
+    np.testing.assert_array_equal(blocks[2][:50], x[1000:])
+
+
+def test_udp_iq_roundtrip():
+    src = UdpIqSource(port=0, block_len=600, timeout=5.0)
+    port = src.sock.getsockname()[1]
+    sink = UdpIqSink(port=port)
+    x = (np.arange(600) * (1 + 1j)).astype(np.complex64) / 600.0
+    t = threading.Thread(target=sink.write, args=(x,))
+    t.start()
+    blk = src.read_block()
+    t.join()
+    np.testing.assert_allclose(blk, x, atol=1e-6)
+    src.close()
+    sink.close()
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.sin(2 * np.pi * 440 * np.arange(8000) / 8000).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, x, 8000)
+    y, rate = read_wav(p)
+    assert rate == 8000
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_signal_source_tone():
+    src = SignalSource(4096, 48000.0, tone_hz=1000.0, amplitude=1.0)
+    b1 = next(iter(src))
+    spec = np.abs(np.fft.fft(b1))
+    f = np.fft.fftfreq(4096, 1 / 48000)
+    assert abs(f[np.argmax(spec)] - 1000.0) < 24.0
+
+
+def test_mmdvm_wire_format_roundtrip():
+    samples = (np.arange(720) - 360).astype(np.int16)
+    control = np.zeros(720, np.uint8)
+    control[0] = mt.MARK_SLOT1
+    msg = mt.pack_rx_message(samples, control, rssi=42)
+    s2, c2, rssi = mt.unpack_rx_message(msg)
+    np.testing.assert_array_equal(s2, samples)
+    np.testing.assert_array_equal(c2, control)
+    assert rssi == 42
+    # exact reference layout: u32 count, u32 rssi, ctrl bytes, shorts
+    assert len(msg) == 8 + 720 + 1440
+    tmsg = mt.pack_tx_message(samples, control)
+    s3, c3 = mt.unpack_tx_message(tmsg)
+    np.testing.assert_array_equal(s3, samples)
+    np.testing.assert_array_equal(c3, control)
+
+
+@pytest.mark.skipif(not mt.zmq_available(), reason="pyzmq missing")
+def test_mmdvm_zmq_push(tmp_path):
+    import zmq
+    path = f"ipc://{tmp_path}/rx1.ipc"
+    pub = mt.MmdvmRxPublisher(1, path_tpl=path.replace("rx1", "rx{}"))
+    ctx = zmq.Context.instance()
+    pull = ctx.socket(zmq.PULL)
+    pull.setsockopt(zmq.RCVTIMEO, 3000)
+    pull.connect(path)
+    import time
+    time.sleep(0.3)  # let the PULL peer join before the DONTWAIT push
+    samples = np.ones(1440, np.int16)
+    pub.push_samples(0, samples)
+    m1 = pull.recv()
+    s, c, rssi = mt.unpack_rx_message(m1)
+    assert s.size == 720 and np.all(s == 1)
+    pull.close(0)
+    pub.close()
+
+
+def test_burst_timer_slot_allocation():
+    bt = tdma.BurstTimer(num_channels=1)
+    bt.set_timer(0)
+    bt.increment(0, 720)          # 30 ms elapsed
+    t1 = bt.allocate_slot(1)
+    t2 = bt.allocate_slot(2)
+    assert t2 - t1 == tdma.SLOT_TIME_NS
+    assert t1 >= bt.time_delta(0)  # burst delay pushes TX into the future
+
+
+def test_burst_timer_tx_mask():
+    bt = tdma.BurstTimer(num_channels=1)
+    bt.set_timer(0)
+    t1 = bt.allocate_slot(1)
+    n = 24_000  # 1 s at 24k
+    mask = bt.tx_mask(n)
+    on = np.nonzero(mask)[0]
+    assert on.size == tdma.SAMPLES_PER_SLOT
+    # slot starts at its allocated time
+    start_ns = (on[0] + 1) * tdma.TIME_PER_SAMPLE_NS
+    assert abs(start_ns - t1) <= tdma.TIME_PER_SAMPLE_NS
+
+
+def test_slot_mask_alternation():
+    m1 = tdma.slot_mask(2880, active_slot=1)
+    m2 = tdma.slot_mask(2880, active_slot=2)
+    np.testing.assert_array_equal(m1 + m2, np.ones(2880, np.float32))
+    assert m1[:720].all() and not m1[720:1440].any()
+
+
+def test_settings_roundtrip(tmp_path):
+    s = Settings(rx_mode="4FSK2K", squelch_db=-70.0, callsign="TPU1")
+    p = s.save(tmp_path / "cfg.json")
+    s2 = Settings.load(p)
+    assert s2 == s
+
+
+def test_memory_channels_roundtrip(tmp_path):
+    chans = RadioChannels([
+        MemoryChannel("repeater", 434_650_000, -7_600_000, "NBFM", "NBFM"),
+        MemoryChannel("digital", 433_500_000, 0, "4FSK2K", "4FSK2K")])
+    p = chans.save(tmp_path / "mem.json")
+    c2 = RadioChannels.load(p)
+    assert len(c2.channels) == 2
+    assert c2.channels[1].rx_mode == "4FSK2K"

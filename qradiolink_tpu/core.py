@@ -12,7 +12,9 @@ program per IQ time-block. Streaming is an outer host loop (`run_stream`) or
 `lax.scan` over pre-split blocks (`scan_stream`). Because state is explicit,
 processing a stream in one big block or many small blocks yields identical
 output (block-size invariance) — the property that replaces the GR
-scheduler's correctness, tested in tests/test_invariance.py.
+scheduler's correctness, tested per primitive in tests/test_fir.py,
+test_resample.py, test_ops.py, test_sync.py and at whole-chain level in
+tests/test_chains_digital.py::test_full_chain_block_size_invariance.
 
 Blocks are dataclass-like Python objects: hyperparameters (tap arrays, rates)
 are Python/ndarray constants baked into the trace; state is a pytree of

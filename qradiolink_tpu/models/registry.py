@@ -16,7 +16,9 @@ from qradiolink_tpu.chains.wbfm import WbfmDemod
 from qradiolink_tpu.chains.am import AmDemod, AmMod
 from qradiolink_tpu.chains.ssb import SsbDemod, SsbMod
 from qradiolink_tpu.chains.fsk import (
-    Fsk4Demod, Fsk4Mod, Fsk2Demod, Fsk2Mod, GmskDemod, GmskMod)
+    Fsk4Demod, Fsk4Mod, Fsk4FbDemod, Fsk2Demod, Fsk2Mod, Fsk2FbDemod,
+    GmskDemod, GmskMod)
+from qradiolink_tpu.chains.dsss import DsssBpskDemod, DsssBpskMod, CwMod
 from qradiolink_tpu.chains.psk import (
     BpskDemod, BpskMod, QpskDemod, QpskMod)
 from qradiolink_tpu.chains.m17 import M17Demod, M17Mod
@@ -92,9 +94,45 @@ MODES = {
                     lambda **k: GmskDemod(symbol_rate=1000, **k),
                     lambda **k: GmskMod(symbol_rate=1000, **k),
                     framing="GMSK1K", bit_rate=1000),
+    # reference mode table: 4FSK2K is the non-FM filter-bank variant,
+    # 4FSK2KFM the FM-discriminator one (gr_demod_base.cpp:211-214)
     "4FSK2K": _spec("4FSK2K", "digital_voice",
                     lambda **k: Fsk4Demod(**k), lambda **k: Fsk4Mod(**k),
                     framing="4FSK2K", bit_rate=2000),
+    "4FSK2KFB": _spec("4FSK2KFB", "digital_voice",
+                      lambda **k: Fsk4FbDemod(variant="2K", **k),
+                      lambda **k: Fsk4Mod(variant="2K", **k),
+                      framing="4FSK2K", bit_rate=2000),
+    "4FSK1KFM": _spec("4FSK1KFM", "digital_voice",
+                      lambda **k: Fsk4Demod(variant="1KFM", **k),
+                      lambda **k: Fsk4Mod(variant="1KFM", **k),
+                      framing="4FSK1KFM", bit_rate=1000),
+    "4FSK10KFM": _spec("4FSK10KFM", "digital_data",
+                       lambda **k: Fsk4Demod(variant="10KFM", **k),
+                       lambda **k: Fsk4Mod(variant="10KFM", **k),
+                       framing="4FSK10KFM", bit_rate=10000),
+    "4FSK100K": _spec("4FSK100K", "digital_data",
+                      lambda **k: Fsk4Demod(variant="96K", **k),
+                      lambda **k: Fsk4Mod(variant="96K", **k),
+                      framing="4FSK100K", bit_rate=100000),
+    "2FSK10K": _spec("2FSK10K", "digital_data",
+                     lambda **k: Fsk2Demod(symbol_rate=20_000,
+                                           filter_width=25000.0,
+                                           target_rate=80_000, **k),
+                     lambda **k: Fsk2Mod(symbol_rate=20_000,
+                                         filter_width=25000.0, **k),
+                     framing="2FSK10KFM", bit_rate=20000),
+    "2FSK2KFB": _spec("2FSK2KFB", "digital_voice",
+                      lambda **k: Fsk2FbDemod(symbol_rate=2000,
+                                              filter_width=4000.0, **k),
+                      lambda **k: Fsk2Mod(symbol_rate=2000,
+                                          filter_width=4000.0, **k),
+                      framing="2FSK2K", bit_rate=2000),
+    "BPSKDSSS8": _spec("BPSKDSSS8", "digital_voice",
+                       lambda **k: DsssBpskDemod(**k),
+                       lambda **k: DsssBpskMod(**k),
+                       framing="BPSK1K", bit_rate=8),
+    "CW": _spec("CW", "analog", None, lambda **k: CwMod(**k), step=100),
     "M17": _spec("M17", "digital_voice",
                  lambda **k: M17Demod(**k), lambda **k: M17Mod(**k),
                  framing="M17", bit_rate=9600),

@@ -88,6 +88,55 @@ def time_sharded_fir(taps, mesh: Mesh, axis: str = "t", decim: int = 1):
     return jax.jit(fn)
 
 
+def time_sharded_chain(chain, mesh: Mesh, halo: int, out_keys=("bits",),
+                       axis: str = "t", out_ratio: dict | None = None):
+    """Run a FULL feedforward chain with the TIME axis sharded over the
+    mesh — sequence parallelism for one high-rate channel (SURVEY §2.8
+    "Block/time parallelism": the framework's sequence/context axis).
+
+    Every stage of a feedforward chain (FIR/resampler tails, the
+    Oerder&Meyr timing estimator's window, the tiled Viterbi's overlap)
+    has bounded input memory, so a shard can reproduce the serial
+    output EXACTLY from `halo` extra input samples fetched from its left
+    neighbor (one ppermute) — the whole-chain generalization of
+    overlap-save. Each shard runs the chain zero-initialized on
+    halo+local input and drops the warm-up outputs; provided `halo`
+    covers the chain's total memory and the local length keeps the
+    chain's block quantum aligned, shard outputs equal the serial run's.
+
+    chain: built for unbatched (T,) IQ in, dict of (T*r,) outputs.
+    out_ratio: output key -> outputs-per-input-sample (default inferred
+    from a tiny eval is not possible under shard_map; pass explicitly
+    for keys whose rate differs from bits).
+
+    Returns jitted fn: x[T_global] (sharded over axis) -> dict of
+    sharded outputs, each shard trimmed of its warm-up region (the first
+    shard is zero-padded at the front to keep shapes uniform; its
+    leading halo*r outputs are the same values a serial run produces
+    because both start from zero state).
+    """
+    ratios = dict(out_ratio or {})
+
+    def local_step(x_local):
+        xh = halo_exchange_left(x_local, halo, axis)
+        _, out = chain(chain.init_state(), xh)
+        trimmed = {}
+        for k in out_keys:
+            y = out[k]
+            r = ratios.get(k)
+            if r is None:
+                # infer from produced length: len = (local+halo)*r
+                r = y.shape[-1] / xh.shape[-1]
+            drop = int(round(halo * r))
+            trimmed[k] = y[..., drop:]
+        return trimmed
+
+    fn = jax.shard_map(
+        local_step, mesh=mesh, in_specs=P(axis),
+        out_specs={k: P(axis) for k in out_keys})
+    return jax.jit(fn)
+
+
 class MultichannelRx:
     """Polyphase channelizer front-end + per-channel demod chains, with the
     channel axis sharded over the mesh — the BASELINE 64-channel mixed

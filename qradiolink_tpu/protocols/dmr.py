@@ -507,6 +507,40 @@ def decode_burst(frame_bits) -> DecodedBurst:
     return DecodedBurst(kind="unknown")
 
 
+def find_bursts(bits, max_errors: int = 4):
+    """Vectorized sync hunt over a hard-bit stream.
+
+    Replaces the reference's bit-serial shift-register compare
+    (gr_dmr_sink.cpp:78-120) with one correlation per pattern: an
+    (offsets, 48) sliding window against all 8 patterns at once.
+    Returns [(frame_start_bit, sync_name)] for every position whose
+    best pattern has Hamming distance <= max_errors, where frame_start
+    points at the burst's bit 0 (sync sits at bits 108..155).
+    """
+    bits = np.asarray(bits, np.uint8).ravel()
+    if bits.size < 48:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(bits, 48)
+    pats = np.stack(list(SYNC_PATTERNS.values()))          # (8, 48)
+    names = list(SYNC_PATTERNS.keys())
+    # Hamming distance via matmul: d = 48 - matches
+    dists = (win[:, None, :] != pats[None, :, :]).sum(-1)  # (offsets, 8)
+    best = dists.argmin(-1)
+    best_d = dists.min(-1)
+    hits = np.nonzero(best_d <= max_errors)[0]
+    out = []
+    last = -FRAME_BITS
+    for pos in hits:
+        start = int(pos) - 108
+        if start < 0 or start + FRAME_BITS > bits.size:
+            continue
+        if start - last < FRAME_BITS // 2:  # suppress adjacent dupes
+            continue
+        out.append((start, names[int(best[pos])]))
+        last = start
+    return out
+
+
 class EmbeddedLCAssembler:
     """Reassembles the 4-fragment embedded LC across a voice superframe
     (reference DMREmbeddedData::addData state machine)."""

@@ -183,9 +183,18 @@ class FeedforwardSymbolSync(Block):
     is instant, which is also why this is the high-rate path.
     """
 
-    def __init__(self, sps: int, n_sub: int = 4, lead_shape: tuple = ()):
+    def __init__(self, sps: int, n_sub: int = 4, lead_shape: tuple = (),
+                 window: int | None = None):
+        """window: fixed estimator window in samples. When set, the
+        number of sub-blocks scales with the block length (n_sub is
+        ignored) so estimates are BLOCK-PARTITION INVARIANT — required
+        for time-sharded processing to reproduce the serial stream
+        exactly (parallel/sharding.time_sharded_chain)."""
         self.sps = int(sps)
         self.n_sub = int(n_sub)
+        self.window = None if window is None else int(window)
+        if self.window is not None and self.window % self.sps != 0:
+            raise ValueError("window must be a multiple of sps")
         self.lead_shape = tuple(lead_shape)
         self.tail_len = 4
 
@@ -193,7 +202,15 @@ class FeedforwardSymbolSync(Block):
         return jnp.zeros(self.lead_shape + (self.tail_len,), jnp.complex64)
 
     def __call__(self, state, x):
-        sps, s = self.sps, self.n_sub
+        sps = self.sps
+        if self.window is not None:
+            if x.shape[-1] % self.window != 0:
+                raise ValueError(
+                    f"block {x.shape[-1]} not a multiple of window "
+                    f"{self.window}")
+            s = x.shape[-1] // self.window
+        else:
+            s = self.n_sub
         xc = jnp.concatenate([state.astype(x.dtype)
                               if jnp.iscomplexobj(x)
                               else state.real.astype(x.dtype), x], axis=-1)

@@ -20,8 +20,10 @@ def binary_slicer(x):
     return (x >= 0).astype(jnp.uint8)
 
 
+# band index (ascending tone frequency) -> point, matching the
+# reference's in1..in4 branch order (gr_4fsk_discriminator.cpp:30-38)
 _FSK4_POINTS = np.array(
-    [-0.707 - 0.707j, -0.707 + 0.707j, 0.707 - 0.707j, 0.707 + 0.707j],
+    [-0.707 - 0.707j, -0.707 + 0.707j, 0.707 + 0.707j, 0.707 - 0.707j],
     dtype=np.complex64,
 )
 

@@ -1,0 +1,173 @@
+"""Golden parity tests against INDEPENDENT references (SURVEY §4.1).
+
+The loopback tests prove TX/RX self-consistency but cannot catch a
+systematic deviation present in both directions (e.g. a tap-design or
+normalization bug). Here every signal/filter is checked against an
+implementation that shares no code with the package:
+
+- firdes taps vs scipy.signal.firwin (same ntaps/window/normalization)
+- RRC taps vs the textbook closed form evaluated inline
+- quadrature demod vs the derivative of the numpy-unwrapped phase
+- PFB channelizer vs a naive mix->filter->decimate per channel
+- NBFM chain on IQ synthesized DIRECTLY with numpy (not our TX chain):
+  an FM tone at known deviation must demodulate to the tone
+- 4FSK chain on numpy-synthesized 4FSK at the exact reference symbol
+  mapping: recovered symbols must match the sent levels
+"""
+
+import numpy as np
+import scipy.signal as sps
+import jax.numpy as jnp
+import pytest
+
+from qradiolink_tpu.ops import firdes
+
+
+def test_low_pass_taps_match_scipy_firwin():
+    fs, cutoff, trans = 20_000.0, 4_000.0, 2_000.0
+    taps = np.asarray(firdes.low_pass(1.0, fs, cutoff, trans,
+                                      firdes.WIN_BLACKMAN_HARRIS))
+    n = len(taps)
+    ref = sps.firwin(n, cutoff / (fs / 2), window="blackmanharris")
+    # same DC normalization
+    ref = ref / ref.sum() * taps.sum()
+    np.testing.assert_allclose(taps, ref, atol=1e-6)
+
+
+def test_low_pass_taps_match_scipy_firwin_hamming():
+    fs, cutoff, trans = 48_000.0, 3_000.0, 1_000.0
+    taps = np.asarray(firdes.low_pass(2.0, fs, cutoff, trans,
+                                      firdes.WIN_HAMMING))
+    n = len(taps)
+    ref = sps.firwin(n, cutoff / (fs / 2), window="hamming")
+    ref = 2.0 * ref / ref.sum()
+    np.testing.assert_allclose(taps, ref, atol=1e-6)
+
+
+def test_rrc_taps_closed_form():
+    """GR's root_raised_cosine vs the textbook formula (independent
+    inline evaluation)."""
+    gain, fs, rs, alpha, ntaps = 1.0, 20_000.0, 2_000.0, 0.2, 101
+    taps = np.asarray(firdes.root_raised_cosine(gain, fs, rs, alpha, ntaps))
+    spb = fs / rs
+    t = (np.arange(ntaps) - (ntaps - 1) / 2) / spb   # in symbol periods
+    h = np.zeros(ntaps)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-9:
+            h[i] = 1.0 - alpha + 4 * alpha / np.pi
+        elif abs(abs(ti) - 1 / (4 * alpha)) < 1e-9:
+            h[i] = (alpha / np.sqrt(2)) * (
+                (1 + 2 / np.pi) * np.sin(np.pi / (4 * alpha))
+                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * alpha)))
+        else:
+            h[i] = (np.sin(np.pi * ti * (1 - alpha))
+                    + 4 * alpha * ti * np.cos(np.pi * ti * (1 + alpha))) / \
+                (np.pi * ti * (1 - (4 * alpha * ti) ** 2))
+    h = gain * h / np.sqrt(np.sum(h ** 2) * spb) * np.sqrt(spb)
+    # compare shape (normalizations differ by a scalar): correlate
+    c = np.dot(taps, h) / (np.linalg.norm(taps) * np.linalg.norm(h))
+    assert c > 0.999999, f"RRC shape correlation {c}"
+
+
+def test_quad_demod_matches_phase_derivative():
+    from qradiolink_tpu.ops.analog import QuadratureDemod
+    rng = np.random.default_rng(0)
+    # noisy chirp
+    fs = 48_000.0
+    t = np.arange(8192) / fs
+    f_inst = 1000.0 + 3000.0 * t
+    phase = 2 * np.pi * np.cumsum(f_inst) / fs
+    x = np.exp(1j * phase).astype(np.complex64)
+    gain = 1.0
+    q = QuadratureDemod(gain)
+    _, y = q(q.init_state(), jnp.asarray(x))
+    y = np.asarray(y)
+    ref = np.diff(np.unwrap(np.angle(x)), prepend=0.0) * gain
+    np.testing.assert_allclose(y[10:], ref[10:], atol=1e-3)
+
+
+def test_channelizer_matches_naive_filterbank():
+    from qradiolink_tpu.ops.channelizer import (
+        PfbChannelizer, default_channelizer_taps)
+    M = 8
+    taps = default_channelizer_taps(M)
+    rng = np.random.default_rng(3)
+    T = 4096
+    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)
+         ).astype(np.complex64)
+    ch = PfbChannelizer(M, taps=taps)
+    _, y = ch(ch.init_state(), jnp.asarray(x))
+    y = np.asarray(y)  # (M, T/M)
+    # naive reference: mix channel k to DC, FIR with the prototype,
+    # decimate by M — mathematically identical to the polyphase form
+    n = np.arange(T)
+    for k in (0, 1, 3, M - 1):
+        mixed = x * np.exp(-2j * np.pi * k * n / M)
+        filt = np.convolve(mixed, taps)[: T]
+        naive = filt[::M]
+        # skip the filter warm-up region
+        w = len(taps) // M + 2
+        np.testing.assert_allclose(y[k][w:], naive[w:], atol=1e-3,
+                                   err_msg=f"channel {k}")
+
+
+def test_nbfm_demod_on_numpy_synthesized_fm():
+    """IQ made directly with numpy (not our TX chain): FM at 2.5 kHz
+    deviation carrying an 800 Hz tone at 1 Msps."""
+    from qradiolink_tpu.chains.nbfm import NbfmDemod
+    fs = 1_000_000
+    n = 500_000
+    t = np.arange(n) / fs
+    tone = np.sin(2 * np.pi * 800.0 * t)
+    dev = 2_500.0
+    phase = 2 * np.pi * dev * np.cumsum(tone) / fs
+    iq = (0.8 * np.exp(1j * phase)).astype(np.complex64)
+    dem = NbfmDemod(filter_width=5000.0, squelch_db=-140.0)
+    _, out = dem(dem.init_state(), jnp.asarray(iq))
+    audio = np.asarray(out["audio"])[2000:]
+    spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio)))) ** 2
+    f = np.fft.rfftfreq(len(audio), 1 / 8000.0)
+    sig = spec[np.abs(f - 800.0) < 50].sum()
+    noise = spec[(np.abs(f - 800.0) >= 50) & (f > 100) & (f < 3500)].sum()
+    snr = 10 * np.log10(sig / (noise + 1e-12))
+    assert snr > 30.0, f"NBFM numpy-FM tone SNR {snr:.1f} dB"
+
+
+def test_fsk4_demod_on_numpy_synthesized_4fsk():
+    """4FSK IQ synthesized with numpy at the reference's symbol mapping
+    (levels {-1.5,-0.5,0.5,1.5}, RRC alpha=0.2, sensitivity pi/sps x 2/3
+    at 10 ksps pulse rate): the chain must recover the sent levels."""
+    from qradiolink_tpu.chains.fsk import Fsk4Demod
+    rng = np.random.default_rng(1)
+    nsym = 3000
+    levels = np.array([-1.5, -0.5, 0.5, 1.5])
+    sent = rng.integers(0, 4, nsym)
+    symbols = levels[sent]
+    # pulse shape at 5 samples/symbol (10 ksps), RRC alpha=0.2
+    sps5 = 5
+    up = np.zeros(nsym * sps5)
+    up[::sps5] = symbols * sps5
+    rrc = np.asarray(firdes.root_raised_cosine(1.0, float(sps5), 1.0,
+                                               0.2, 10 * sps5 + 1))
+    shaped = np.convolve(up, rrc, mode="same") * (2.0 / 3.0)
+    # FM modulate at 10 ksps, sensitivity pi/5
+    phase = np.cumsum(shaped * np.pi / sps5)
+    base = np.exp(1j * phase)
+    # polyphase-free interpolation x100 to 1 Msps via scipy resample_poly
+    iq = sps.resample_poly(base, 100, 1).astype(np.complex64) * 0.9
+    dem = Fsk4Demod()
+    m = len(iq) - len(iq) % 2500
+    _, out = dem(dem.init_state(), jnp.asarray(iq[:m]))
+    syms = np.asarray(out["symbols"])
+    # steady state: best alignment of recovered levels to sent levels
+    lo, hi = nsym // 2, (7 * nsym) // 8
+    best = 1.0
+    for off in range(0, 200):
+        seg = syms[off + lo: off + hi]
+        if len(seg) < hi - lo:
+            break
+        dec = levels[np.argmin(
+            np.abs(seg[:, None] - levels[None, :]), axis=1)]
+        err = np.mean(dec != levels[sent[lo:hi]])
+        best = min(best, err)
+    assert best < 0.01, f"4FSK symbol error rate {best} on numpy IQ"

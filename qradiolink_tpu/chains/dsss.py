@@ -62,6 +62,7 @@ class DsssBpskDemod(Block):
 
     def __init__(self, filter_width: float = 150.0, lead_shape: tuple = ()):
         ls = tuple(lead_shape)
+        self.lead_shape = ls
         self.resamp = RationalResampler(
             1, 50, taps=firdes.low_pass(1.0, self.SAMP_RATE, 10_000.0,
                                         10_000.0, firdes.WIN_BLACKMAN_HARRIS),
@@ -88,11 +89,12 @@ class DsssBpskDemod(Block):
 
     def init_state(self):
         return (init_states(self.blocks),
-                jnp.zeros(self.lead_shape if hasattr(self, "lead_shape")
-                          else (), jnp.float32))
+                jnp.zeros(self.lead_shape, jnp.float32),
+                jnp.zeros(self.lead_shape + (BIT_SAMPLES,), jnp.float32),
+                jnp.full(self.lead_shape + (1,), 128.0, jnp.float32))
 
     def __call__(self, state, iq):
-        blocks_state, phase_prev = state
+        blocks_state, phase_prev, fold_acc, last_soft = state
         seq = Sequencer(blocks_state)
         x = seq(self.resamp, iq)
         x = seq(self.resamp_if, x)
@@ -103,12 +105,15 @@ class DsssBpskDemod(Block):
         m = seq(self.matched, x)
         # feedforward despread timing: fold |correlation| modulo the bit
         # period and sample every bit at the dominant phase (replaces the
-        # reference's per-window max search, dsss_decoder_cc_impl.cc:135-158)
+        # reference's per-window max search, dsss_decoder_cc_impl.cc:135-158).
+        # The fold profile is exponentially accumulated across blocks so
+        # the argmax stays stable even for blocks of only a few bits.
         n_bits = m.shape[-1] // BIT_SAMPLES
         w = m[..., : n_bits * BIT_SAMPLES].reshape(
             *m.shape[:-1], n_bits, BIT_SAMPLES)
         fold = jnp.sum(jnp.abs(w), axis=-2)               # (..., 325)
-        p = jnp.argmax(fold, axis=-1)                      # (...,)
+        fold_acc = 0.75 * fold_acc + fold
+        p = jnp.argmax(fold_acc, axis=-1)                  # (...,)
         peaks = jnp.take_along_axis(
             w, p[..., None, None], axis=-1)[..., 0]        # (..., n_bits)
         peaks = peaks * (2.0 / BIT_SAMPLES)
@@ -121,12 +126,12 @@ class DsssBpskDemod(Block):
         syms = peaks * jnp.exp(-1j * ang)[..., None]
         soft = jnp.clip(syms.real * 64.0 * BIT_SAMPLES / 2 + 128.0,
                         0.0, 255.0)
-        delayed = jnp.concatenate(
-            [jnp.full(soft.shape[:-1] + (1,), 128.0), soft[..., :-1]], axis=-1)
+        delayed = jnp.concatenate([last_soft, soft[..., :-1]], axis=-1)
+        last_soft = soft[..., -1:]
         both = jnp.stack([soft, delayed, 255.0 - soft, 255.0 - delayed],
                          axis=0)
         bits4 = seq(self.fec_tail, both)
-        return (seq.states(), ang), {
+        return (seq.states(), ang, fold_acc, last_soft), {
             "bits": bits4[0], "bits_alt": bits4[1],
             "bits_inv": bits4[2], "bits_alt_inv": bits4[3],
             "rssi": rssi, "symbols": syms}

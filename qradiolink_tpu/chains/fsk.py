@@ -408,8 +408,10 @@ class Fsk2FbDemod(Block):
         fs = target_rate
         fw = float(filter_width)
         self.sps = fs // symbol_rate
-        decim = self.SAMP_RATE // fs
-        self.resamp = RationalResampler(1, decim, lead_shape=ls)
+        from fractions import Fraction
+        fr = Fraction(target_rate, self.SAMP_RATE)
+        self.resamp = RationalResampler(fr.numerator, fr.denominator,
+                                        lead_shape=ls)
         self.chan_filter = FirFilter(
             firdes.low_pass(1.0, fs, fw, fw, firdes.WIN_BLACKMAN_HARRIS),
             lead_shape=ls)

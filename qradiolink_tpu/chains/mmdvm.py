@@ -43,7 +43,16 @@ TARGET_RATE = 24_000
 CHANNEL_SPACING = 25_000
 NUM_BRANCHES = 10
 MAX_CHANNELS = 7
-FM_WIDTH = 12_500.0
+# every reference MMDVM chain defaults filter_width to 5 kHz
+# (gr_demod_mmdvm.h:36, gr_mod_mmdvm.h:36, gr_demod_mmdvm_multi2.h:40)
+FILTER_WIDTH = 5_000.0
+# FM deviation constants: TX sensitivity is 2*pi*12.5k/24k everywhere
+# (gr_mod_mmdvm.cpp:40, gr_mod_mmdvm_multi2.cpp:66); RX quad-demod gain
+# uses 10 kHz single-carrier (gr_demod_mmdvm.cpp:41) and 12.5 kHz multi
+# (gr_demod_mmdvm_multi2.cpp:55).
+FM_DEV_TX = 12_500.0
+FM_DEMOD_WIDTH_SINGLE = 10_000.0
+FM_DEMOD_WIDTH_MULTI = 12_500.0
 
 # logical channel i -> PFB bin (gr_demod_mmdvm_multi2.cpp:111-124:
 # i<=3 -> bin i, i>3 -> bin 10-m); carriers sit at
@@ -57,7 +66,8 @@ class MmdvmDemod(Block):
     Block length must be a multiple of 125. Outputs: audio (float,
     MMDVMHost-bound baseband), rssi (dB per block)."""
 
-    def __init__(self, filter_width: float = FM_WIDTH, lead_shape: tuple = ()):
+    def __init__(self, filter_width: float = FILTER_WIDTH,
+                 lead_shape: tuple = ()):
         ls = tuple(lead_shape)
         self.resamp = RationalResampler(
             12, 125, taps=firdes.low_pass(12.0, 12 * DEVICE_RATE,
@@ -67,8 +77,8 @@ class MmdvmDemod(Block):
         self.chan_filter = FirFilter(
             firdes.low_pass(1.0, TARGET_RATE, filter_width, 2000.0,
                             firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
-        self.quad = QuadratureDemod(TARGET_RATE / (2 * np.pi * FM_WIDTH),
-                                    lead_shape=ls)
+        self.quad = QuadratureDemod(
+            TARGET_RATE / (2 * np.pi * FM_DEMOD_WIDTH_SINGLE), lead_shape=ls)
         self.blocks = [self.resamp, self.chan_filter, self.quad]
 
     def init_state(self):
@@ -86,9 +96,10 @@ class MmdvmDemod(Block):
 class MmdvmMod(Block):
     """Single-carrier MMDVM TX: 24 ksps floats -> 250 ksps IQ."""
 
-    def __init__(self, filter_width: float = FM_WIDTH, lead_shape: tuple = ()):
+    def __init__(self, filter_width: float = FILTER_WIDTH,
+                 lead_shape: tuple = ()):
         ls = tuple(lead_shape)
-        self.fm = FrequencyMod(2 * np.pi * FM_WIDTH / TARGET_RATE,
+        self.fm = FrequencyMod(2 * np.pi * FM_DEV_TX / TARGET_RATE,
                                lead_shape=ls)
         self.post = FirFilter(
             firdes.low_pass(1.0, TARGET_RATE, filter_width, 2000.0,
@@ -122,7 +133,7 @@ class MmdvmMultiRx(Block):
     """
 
     def __init__(self, num_channels: int = MAX_CHANNELS,
-                 filter_width: float = FM_WIDTH):
+                 filter_width: float = FILTER_WIDTH):
         assert 1 <= num_channels <= MAX_CHANNELS
         self.C = int(num_channels)
         cls = (self.C,)
@@ -138,8 +149,8 @@ class MmdvmMultiRx(Block):
         self.chan_filter = FirFilter(
             firdes.low_pass(1.0, TARGET_RATE, filter_width, 2000.0,
                             firdes.WIN_BLACKMAN_HARRIS), lead_shape=cls)
-        self.quad = QuadratureDemod(TARGET_RATE / (2 * np.pi * FM_WIDTH),
-                                    lead_shape=cls)
+        self.quad = QuadratureDemod(
+            TARGET_RATE / (2 * np.pi * FM_DEMOD_WIDTH_MULTI), lead_shape=cls)
         self.blocks = [self.channelizer, self.resamp, self.chan_filter,
                        self.quad]
 
@@ -165,11 +176,11 @@ class MmdvmMultiTx(Block):
     """
 
     def __init__(self, num_channels: int = MAX_CHANNELS,
-                 filter_width: float = FM_WIDTH):
+                 filter_width: float = FILTER_WIDTH):
         assert 1 <= num_channels <= MAX_CHANNELS
         self.C = int(num_channels)
         cls = (self.C,)
-        self.fm = FrequencyMod(2 * np.pi * FM_WIDTH / TARGET_RATE,
+        self.fm = FrequencyMod(2 * np.pi * FM_DEV_TX / TARGET_RATE,
                                lead_shape=cls)
         self.chan_filter = FirFilter(
             firdes.low_pass(1.0, TARGET_RATE, filter_width, 2000.0,

@@ -141,13 +141,18 @@ class UdpIqSource:
 
 
 class UdpIqSink:
-    """Send IQ blocks as UDP datagrams (chunked under the MTU)."""
+    """Send IQ blocks as UDP datagrams (chunked under the MTU).
+
+    The default chunk is sized from the sample format so each datagram
+    stays under the 1472-byte UDP payload of a standard 1500-byte-MTU
+    link (cf32 -> 184 samples/datagram), avoiding IP fragmentation."""
 
     def __init__(self, port: int, fmt: str = "cf32",
-                 host: str = "127.0.0.1", chunk: int = 1024):
+                 host: str = "127.0.0.1", chunk: int | None = None):
         self.addr = (host, port)
         self.fmt = fmt
-        self.chunk = int(chunk)
+        self.chunk = int(chunk) if chunk is not None \
+            else 1472 // _item_bytes(fmt)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
 
     def write(self, x) -> None:

@@ -51,3 +51,21 @@ def test_cw_keying():
     on = np.mean(np.abs(iq[int(1500*up):int(2500*up)]) ** 2)
     off = np.mean(np.abs(iq[int(3700*up):int(4700*up)]) ** 2)
     assert on > 100 * max(off, 1e-12)
+
+
+def test_dsss_lead_shape_state_stable():
+    """Regression: with lead_shape=(C,), the carried carrier-phase leaf
+    must keep shape (C,) across calls (pytree structure stability is
+    the scan_stream/jit-reuse contract)."""
+    import jax
+    C = 2
+    dem = DsssBpskDemod(lead_shape=(C,))
+    st0 = dem.init_state()
+    iq = jnp.zeros((C, 125_000), jnp.complex64)
+    st1, _ = dem(st0, iq)
+    st2, _ = dem(st1, iq)
+    t0 = jax.tree_util.tree_structure(st0)
+    assert jax.tree_util.tree_structure(st1) == t0
+    for a, b in zip(jax.tree_util.tree_leaves(st0),
+                    jax.tree_util.tree_leaves(st2)):
+        assert a.shape == b.shape

@@ -9,7 +9,10 @@ from qradiolink_tpu.chains.mmdvm import (
     MmdvmDemod, MmdvmMod, MmdvmMultiRx, MmdvmMultiTx, TARGET_RATE)
 
 
-def _tone(freq, n, rate=TARGET_RATE, amp=0.5):
+def _tone(freq, n, rate=TARGET_RATE, amp=0.15):
+    # amp 0.15 -> 1.9 kHz peak FM deviation at the 12.5 kHz/unit TX
+    # sensitivity, matching real MMDVM baseband (DMR deviates 1.944 kHz)
+    # and fitting the reference's default 5 kHz channel filters.
     t = np.arange(n) / rate
     return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
 

@@ -565,3 +565,212 @@ class EmbeddedLCAssembler:
                 if ok:
                     return LinkControl.from_bytes(lc9)
         return None
+
+
+# ---------------------------------------------------------------------------
+# CSBK (control signalling block; reference src/MMDVM/DMRCSBK.cpp)
+
+# CSBK opcodes (DMRCSBK.h enum CSBKO)
+CSBKO_NONE = 0x00
+CSBKO_UUVREQ = 0x04
+CSBKO_UUANSRSP = 0x05
+CSBKO_CTCSBK = 0x07
+CSBKO_AHOY = 0x1C
+CSBKO_RAND = 0x1F
+CSBKO_ACKD = 0x20
+CSBKO_ACKU = 0x21
+CSBKO_RADIO_CHECK = 0x24
+CSBKO_NACKRSP = 0x26
+CSBKO_C_BCAST = 0x28
+CSBKO_MAINT = 0x2A
+CSBKO_P_CLEAR = 0x2E
+CSBKO_PV_GRANT = 0x30
+CSBKO_TV_GRANT = 0x31
+CSBKO_BTV_GRANT = 0x32
+CSBKO_PD_GRANT = 0x33
+CSBKO_TD_GRANT = 0x34
+CSBKO_PV_GRANT_DX = 0x35
+CSBKO_PD_GRANT_DX = 0x36
+CSBKO_BSDWNACT = 0x38
+CSBKO_PRECCSBK = 0x3D
+
+_CSBK_CRC_MASK = 0xA5A5   # DMRDefines.h:76, per-byte 0xA5
+
+
+def _crc_ccitt162(payload10: np.ndarray) -> int:
+    """DMR CCITT-16.2: CRC-16/CCITT init 0, complemented (CRC.cpp
+    checkCCITT162). Returns the 16-bit value stored high byte first."""
+    from qradiolink_tpu.fec.crc import crc16_ccitt
+    return crc16_ccitt(bytes(np.asarray(payload10, np.uint8)),
+                       init=0x0000) ^ 0xFFFF
+
+
+@dataclass
+class Csbk:
+    """Decoded CSBK fields (generic layout: byte0 = LB|PF|CSBKO,
+    byte1 = FID, bytes2-3 = data1/CBF (or service fields), bytes 4-6 and
+    7-9 = 24-bit ids whose src/dst order is opcode-specific)."""
+    csbko: int = CSBKO_NONE
+    fid: int = 0
+    lb: bool = True
+    pf: bool = False
+    data1: int = 0
+    cbf: int = 0
+    dst_id: int = 0            # or BS id for BSDWNACT
+    src_id: int = 0
+
+    @property
+    def service_kind(self) -> int:
+        return self.cbf & 0x0F
+
+    @property
+    def service_options(self) -> int:
+        return self.data1 >> 1
+
+    def to_bytes(self) -> np.ndarray:
+        b = np.zeros(12, np.uint8)
+        b[0] = (self.csbko & 0x3F) | (0x80 if self.lb else 0) \
+            | (0x40 if self.pf else 0)
+        b[1] = self.fid
+        b[2] = self.data1
+        b[3] = self.cbf
+        # BSDWNACT keeps (bs_id, src_id) in the same slots the generic
+        # layout calls (dst, src); NACKRSP swaps src/dst (DMRCSBK.cpp put)
+        hi, lo = (self.src_id, self.dst_id) \
+            if self.csbko == CSBKO_NACKRSP else (self.dst_id, self.src_id)
+        b[4:7] = [(hi >> 16) & 0xFF, (hi >> 8) & 0xFF, hi & 0xFF]
+        b[7:10] = [(lo >> 16) & 0xFF, (lo >> 8) & 0xFF, lo & 0xFF]
+        crc = _crc_ccitt162(b[:10]) ^ _CSBK_CRC_MASK
+        b[10], b[11] = (crc >> 8) & 0xFF, crc & 0xFF
+        return b
+
+    @classmethod
+    def from_bytes(cls, b) -> "Csbk | None":
+        b = np.asarray(b, np.uint8)
+        crc = (int(b[10]) << 8 | int(b[11])) ^ _CSBK_CRC_MASK
+        if crc != _crc_ccitt162(b[:10]):
+            return None
+        csbko = int(b[0]) & 0x3F
+        id_a = (int(b[4]) << 16) | (int(b[5]) << 8) | int(b[6])
+        id_b = (int(b[7]) << 16) | (int(b[8]) << 8) | int(b[9])
+        dst, src = (id_b, id_a) if csbko == CSBKO_NACKRSP else (id_a, id_b)
+        return cls(csbko=csbko, fid=int(b[1]), lb=bool(b[0] & 0x80),
+                   pf=bool(b[0] & 0x40), data1=int(b[2]), cbf=int(b[3]),
+                   dst_id=dst, src_id=src)
+
+
+def make_csbk_burst(csbk: Csbk, color_code: int,
+                    sync: np.ndarray = SYNC_BS_DATA) -> np.ndarray:
+    """CSBK -> (264,) data burst (BPTC-protected, DT_CSBK slot type)."""
+    bits = np.unpackbits(csbk.to_bytes())
+    info = np.asarray(bptc.encode(bits), np.uint8)
+    return make_data_burst(info, color_code, DT_CSBK, sync)
+
+
+def bs_downlink_activate(src_id: int, dst_id: int) -> Csbk:
+    """The BSDWNACT wake-up CSBK the reference transmits 3x before a
+    repeater call (dmrcontrol.cpp getStartCSBK:99-116)."""
+    return Csbk(csbko=CSBKO_BSDWNACT, data1=0x00, cbf=0x00,
+                src_id=src_id, dst_id=dst_id)
+
+
+# ---------------------------------------------------------------------------
+# talker alias (embedded LC FLCOs 4..7; reference dmrcontrol.cpp:183-219
+# TX rotation, :497-555 RX assembly)
+
+FLCO_TALKER_ALIAS_HEADER = 4
+FLCO_TALKER_ALIAS_BLOCK1 = 5
+FLCO_TALKER_ALIAS_BLOCK2 = 6
+FLCO_TALKER_ALIAS_BLOCK3 = 7
+FLCO_GPS_INFO = 8
+
+
+def talker_alias_tx_lcs(alias: str) -> list[LinkControl]:
+    """alias -> the 4 embedded LCs (header + blocks 1-3) the TX rotates
+    through superframes 1..4 (dmrcontrol.cpp:183-219). Format 2
+    (ISO-8 chars), 27-byte buffer zero-padded."""
+    ta = np.zeros(27, np.uint8)
+    raw = alias.encode("utf-8")[:27]
+    ta[:len(raw)] = np.frombuffer(raw, np.uint8)
+    out = []
+    # header: options = format<<6 | length<<1 with format=1? The
+    # reference sends options = (1 << 6) | (0x1B << 1) — format 1
+    # (ISO 7-bit flagged as 8-bit payload), fixed claimed length 27.
+    # the reference builds CDMRLC(flco, a2, a1) whose ctor order is
+    # (src, dst) — so LC dst bytes carry a1 (first chars), src bytes a2
+    opts = (1 << 6) | (0x1B << 1)
+    a1 = (int(ta[0]) << 16) | (int(ta[1]) << 8) | int(ta[2])
+    a2 = (int(ta[3]) << 16) | (int(ta[4]) << 8) | int(ta[5])
+    out.append(LinkControl(flco=FLCO_TALKER_ALIAS_HEADER, options=opts,
+                           dst_id=a1, src_id=a2))
+    for blk, flco in enumerate((FLCO_TALKER_ALIAS_BLOCK1,
+                                FLCO_TALKER_ALIAS_BLOCK2,
+                                FLCO_TALKER_ALIAS_BLOCK3)):
+        i = (blk + 1) * 6
+        opts = int(ta[i])
+        a1 = (int(ta[i + 1]) << 16) | (int(ta[i + 2]) << 8) | int(ta[i + 3])
+        a2 = (int(ta[i + 4]) << 16) | (int(ta[i + 5]) << 8) | int(ta[i + 6])
+        out.append(LinkControl(flco=flco, options=opts,
+                               dst_id=a1, src_id=a2))
+    return out
+
+
+class TalkerAliasAssembler:
+    """RX-side talker alias accumulation across the TA header/block LCs
+    (reference dmrcontrol.cpp:497-555,578-623). Returns the decoded
+    alias string once enough blocks arrived, else None."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._df = 0
+        self._dl = 0
+        self._data = bytearray()
+        self._done = False
+
+    def add(self, lc: LinkControl) -> str | None:
+        if self._done:
+            return None
+        raw = np.asarray(lc.to_bytes(), np.uint8)
+        if lc.flco == FLCO_TALKER_ALIAS_HEADER:
+            self._df = (int(raw[2]) >> 6) & 0x03
+            self._dl = (int(raw[2]) >> 1) & 0x1F
+            self._data = bytearray()
+            if self._df == 0:
+                self._data.append(int(raw[2]) & 0x01)
+            self._data.extend(raw[3:9].tobytes())
+        elif lc.flco in (FLCO_TALKER_ALIAS_BLOCK1, FLCO_TALKER_ALIAS_BLOCK2,
+                         FLCO_TALKER_ALIAS_BLOCK3):
+            if self._dl == 0:
+                return None
+            self._data.extend(raw[2:9].tobytes())
+        else:
+            return None
+        return self._try_decode()
+
+    def _try_decode(self) -> str | None:
+        size = len(self._data)
+        if size < 1:
+            return None
+        bit7_size = 8 * size // 7
+        df, dl = self._df, self._dl
+        ready = ((df in (1, 2) and size >= dl)
+                 or (df == 3 and size >= dl * 2)
+                 or (df == 0 and bit7_size >= dl))
+        if not ready:
+            return None
+        self._done = True
+        data = bytes(self._data)
+        if df in (1, 2):
+            txt = data[:dl].decode("utf-8", errors="replace")
+        elif df == 0:
+            # ISO 7-bit packing: dl 7-bit chars across the byte stream
+            bits = np.unpackbits(np.frombuffer(data, np.uint8))
+            chars = [int(c) for c in
+                     (bits[1:][: (len(bits) - 1) // 7 * 7]
+                      .reshape(-1, 7) * (1 << np.arange(6, -1, -1))).sum(1)]
+            txt = "".join(chr(c) for c in chars[:dl] if c)
+        else:  # UTF-16 BE
+            txt = data[:dl * 2].decode("utf-16-be", errors="replace")
+        return txt.rstrip("\x00").strip()

@@ -101,7 +101,19 @@ class RadioController:
             self._rotator = None
             self._rot_state = None
 
+    def attach_net(self, pump):
+        """Connect an IP-over-radio pump (net.NetPump): received IP
+        frames are CRC-checked and written to its device (reference
+        receiveNetData, radiocontroller.cpp:1669-1704)."""
+        self._net_pump = pump
+
     def _dispatch_frame(self, ftype, payload, t) -> RxEvent:
+        if ftype == FrameType.IP:
+            pump = getattr(self, "_net_pump", None)
+            delivered = pump.push_rx(bytes(payload)) if pump else False
+            return RxEvent("net" if delivered else "frame",
+                           frame_type=int(ftype), payload=bytes(payload),
+                           sample_time=t)
         if ftype in (FrameType.VOICE_1, FrameType.VOICE_2):
             if self._codec is not None:
                 rate = self.settings.vocoder_bitrate
@@ -250,6 +262,20 @@ class RadioController:
             data += self._framer.frame(raw[i:i + cfg.frame_length],
                                        FrameType.TEXT)
         data += self._framer.end_frame()
+        self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
+            np.frombuffer(data, np.uint8)))
+        return np.asarray(out["iq"]) * self.settings.bb_gain
+
+    def tx_net_poll(self, pump, dt: float = 0.05):
+        """One net-pump TX tick (reference processInputNetStream,
+        radiocontroller.cpp:745-824): pull an air frame from the pump
+        and modulate it as a layer-1 IP frame. Returns IQ or None."""
+        if self._tx is None:
+            self.toggle_tx_mode(self.settings.tx_mode)
+        frame = pump.poll_tx(dt)
+        if frame is None:
+            return None
+        data = self._framer.frame(frame, FrameType.IP)
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
             np.frombuffer(data, np.uint8)))
         return np.asarray(out["iq"]) * self.settings.bb_gain

@@ -141,6 +141,25 @@ MODES = {
                  bit_rate=9600),
 }
 
+# FreeDV: all 8 reference variants (src/modem_types.h FreeDV1600USB..
+# FreeDV800XALSB); the chains carry the 8 kHz passband, the vocoder
+# runs on host (chains/freedv.py FreeDvTx/FreeDvRx couple the two)
+def _freedv_entries():
+    from qradiolink_tpu.chains.freedv import FreeDvDemod, FreeDvMod
+    out = {}
+    for fdv_mode in ("1600", "700C", "700D", "800XA"):
+        for sb, usb in (("USB", True), ("LSB", False)):
+            name = f"FreeDV{fdv_mode}{sb}"
+            out[name] = _spec(
+                name, "digital_voice",
+                lambda usb=usb, **k: FreeDvDemod(usb=usb, **k),
+                lambda usb=usb, **k: FreeDvMod(usb=usb, **k),
+                step=2500, bit_rate=1600 if fdv_mode == "1600" else 700)
+    return out
+
+
+MODES.update(_freedv_entries())
+
 
 def get_mode(name: str) -> ModeSpec:
     try:

@@ -107,6 +107,25 @@ class RadioController:
         receiveNetData, radiocontroller.cpp:1669-1704)."""
         self._net_pump = pump
 
+    # mode -> voice codec (reference radiocontroller.cpp:615-667 TX /
+    # 1398-1524 RX dispatch): "2K" modes use Codec2 1400, "1K" modes
+    # Codec2 700, M17 Codec2 3200 x2, DMR the DMR vocoder path, and
+    # every wideband digital-voice mode (10K+ bitrates) uses Opus.
+    _CODEC2_1400_MODES = {"BPSK2K", "2FSK2KFM", "2FSK2K", "2FSK2KFB",
+                          "GMSK2K", "4FSK2K", "4FSK2KFM", "QPSK2K"}
+    _CODEC2_700_MODES = {"BPSK1K", "2FSK1KFM", "2FSK1K", "GMSK1K",
+                         "4FSK1KFM"}
+
+    def _voice_codec(self, mode: str):
+        """-> ('codec2', bitrate) | ('opus',) for a digital-voice mode."""
+        if mode in self._CODEC2_1400_MODES:
+            return ("codec2", 1400)
+        if mode in self._CODEC2_700_MODES:
+            return ("codec2", 700)
+        if mode == "M17":
+            return ("codec2", 3200)
+        return ("opus",)
+
     def _dispatch_frame(self, ftype, payload, t) -> RxEvent:
         if ftype == FrameType.IP:
             pump = getattr(self, "_net_pump", None)
@@ -116,10 +135,18 @@ class RadioController:
                            sample_time=t)
         if ftype in (FrameType.VOICE_1, FrameType.VOICE_2):
             if self._codec is not None:
-                rate = self.settings.vocoder_bitrate
-                bpf = {700: 4, 1400: 7, 2400: 6, 3200: 8}[rate]
-                n = (len(payload) // bpf) * bpf
-                pcm = self._codec.decode_codec2(bytes(payload[:n]), rate)
+                codec = self._voice_codec(self._rx_mode or "")
+                if codec[0] == "opus":
+                    # wideband digital voice (radiocontroller.cpp:1462)
+                    try:
+                        pcm = self._codec.decode_opus(bytes(payload))
+                    except Exception:
+                        pcm = np.zeros(0, np.int16)
+                else:
+                    rate = codec[1]
+                    bpf = {700: 4, 1400: 7, 2400: 6, 3200: 8}[rate]
+                    n = (len(payload) // bpf) * bpf
+                    pcm = self._codec.decode_codec2(bytes(payload[:n]), rate)
                 audio = pcm.astype(np.float32) / 32767.0 * self.settings.rx_volume
                 return RxEvent("audio", audio=audio, sample_time=t)
             return RxEvent("frame", frame_type=int(ftype),
@@ -227,11 +254,18 @@ class RadioController:
         else:
             if self._codec is None:
                 raise RuntimeError("digital voice TX needs codec2")
-            rate = self.settings.vocoder_bitrate
             pcm16 = np.clip(pcm * 32767.0, -32767, 32767).astype(np.int16)
-            spf = self._codec._codec2(rate).samples_per_frame
-            n = (pcm16.size // spf) * spf
-            enc = self._codec.encode_codec2(pcm16[:n], rate)
+            codec = self._voice_codec(self._tx_mode or "")
+            if codec[0] == "opus":
+                # wideband digital voice (radiocontroller.cpp:667)
+                n = (pcm16.size // 320) * 320
+                enc = b"".join(self._codec.encode_opus(pcm16[i:i + 320])
+                               for i in range(0, n, 320))
+            else:
+                rate = codec[1]
+                spf = self._codec._codec2(rate).samples_per_frame
+                n = (pcm16.size // spf) * spf
+                enc = self._codec.encode_codec2(pcm16[:n], rate)
             data = self.frame_voice(enc)
             self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
                 np.frombuffer(data, np.uint8)))

@@ -36,7 +36,7 @@ from qradiolink_tpu.ops.fir import FirFilter
 from qradiolink_tpu.ops.resample import RationalResampler
 from qradiolink_tpu.ops.analog import QuadratureDemod, FrequencyMod
 from qradiolink_tpu.ops.channelizer import PfbChannelizer, PfbSynthesizer
-from qradiolink_tpu.ops.spectrum import rssi_dbm
+from qradiolink_tpu.ops.spectrum import rssi_dbm, rssi_dbm_slots
 
 DEVICE_RATE = 250_000       # MMDVM modes force 250 ksps (config_mmdvm.h:4)
 TARGET_RATE = 24_000
@@ -90,7 +90,8 @@ class MmdvmDemod(Block):
         x = seq(self.chan_filter, x)
         rssi = rssi_dbm(x)
         audio = seq(self.quad, x)
-        return seq.states(), {"audio": audio, "rssi": rssi}
+        return seq.states(), {"audio": audio, "rssi": rssi,
+                              "rssi_slots": rssi_dbm_slots(x)}
 
 
 class MmdvmMod(Block):
@@ -165,7 +166,8 @@ class MmdvmMultiRx(Block):
         x = seq(self.chan_filter, x)
         rssi = rssi_dbm(x)
         audio = seq(self.quad, x)
-        return seq.states(), {"audio": audio, "rssi": rssi}
+        return seq.states(), {"audio": audio, "rssi": rssi,
+                              "rssi_slots": rssi_dbm_slots(x)}
 
 
 class MmdvmMultiTx(Block):

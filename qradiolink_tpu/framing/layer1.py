@@ -139,9 +139,18 @@ class Deframer:
     TEXT/PROTO/VIDEO/CALLSIGN/END words.
     """
 
-    def __init__(self, mode: str):
+    def __init__(self, mode: str, sync_tolerance: int | None = None):
         self.mode = mode
         self.cfg = MODE_FRAME_CONFIG[mode]
+        # M17 syncs are hunted with a Hamming-distance tolerance (the
+        # M17 spec's correlator accepts imperfect sync words; the
+        # reference's bit-serial findSync is exact, gr_modem.cpp:1190,
+        # but its M17 library correlates at symbol level) — tolerance 2
+        # on a 16-bit word keeps the false-hit rate ~0.2%/offset while
+        # surviving 10 dB channels. Other modes stay exact-match.
+        if sync_tolerance is None:
+            sync_tolerance = 2 if self.cfg.m17_mode else 0
+        self.sync_tolerance = int(sync_tolerance)
         if self.cfg.m17_mode:
             # reference gr_modem::findSync M17 branch (gr_modem.cpp:1187-1210)
             self.sync_set = [FrameType.M17_LSF, FrameType.M17_STREAM,
@@ -179,8 +188,14 @@ class Deframer:
                 # the whole sync word must lie at or after pos (the
                 # reference clears its shift register after each frame)
                 lo = pos + wbits - 1
-                cand = np.nonzero(
-                    (words[lo:] & mask) == np.uint64(int(ft)))[0]
+                tol = self.sync_tolerance if wbits <= 16 else 0
+                if tol:
+                    d = np.bitwise_count(
+                        (words[lo:] & mask) ^ np.uint64(int(ft)))
+                    cand = np.nonzero(d <= tol)[0]
+                else:
+                    cand = np.nonzero(
+                        (words[lo:] & mask) == np.uint64(int(ft)))[0]
                 if len(cand):
                     c = lo + cand[0]
                     if hit is None or c < hit:

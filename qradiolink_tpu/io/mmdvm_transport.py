@@ -90,28 +90,44 @@ class MmdvmRxPublisher:
             self.socks.append(s)
         self._pending = [np.zeros(0, np.int16)] * num_channels
         self._ctrl = [np.zeros(0, np.uint8)] * num_channels
+        self._rssi = [np.zeros(0, np.int64)] * num_channels
 
     def push_samples(self, chan: int, samples: np.ndarray,
-                     control: np.ndarray | None = None, rssi: int = 0):
-        """Buffer + emit complete 720-sample slot messages."""
+                     control: np.ndarray | None = None, rssi=0):
+        """Buffer + emit complete 720-sample slot messages.
+
+        rssi: a scalar applied to every slot in this block, or a
+        per-slot vector (e.g. the chains' `rssi_slots` tap, negated to
+        the reference's positive-dB convention) — each emitted slot
+        then carries its own burst RSSI like the reference's
+        rssi_tag_block tags (gr_mmdvm_sink.cpp rssi handling)."""
         samples = np.asarray(samples)
         if samples.dtype != np.int16:
             samples = np.clip(samples * 32767.0, -32767, 32767).astype(np.int16)
         if control is None:
             control = np.zeros(samples.size, np.uint8)
+        n_slots = samples.size // SAMPLES_PER_SLOT + 1
+        rssi_v = np.broadcast_to(
+            np.round(np.atleast_1d(np.asarray(rssi))).astype(np.int64),
+            (n_slots,)) if np.ndim(rssi) == 0 else \
+            np.round(np.asarray(rssi)).astype(np.int64)
         self._pending[chan] = np.concatenate([self._pending[chan], samples])
         self._ctrl[chan] = np.concatenate(
             [self._ctrl[chan], np.asarray(control, np.uint8)])
+        self._rssi[chan] = np.concatenate([self._rssi[chan], rssi_v])
         while self._pending[chan].size >= SAMPLES_PER_SLOT:
+            slot_rssi = int(self._rssi[chan][0]) if self._rssi[chan].size \
+                else 0
             msg = pack_rx_message(
                 self._pending[chan][:SAMPLES_PER_SLOT],
-                self._ctrl[chan][:SAMPLES_PER_SLOT], rssi)
+                self._ctrl[chan][:SAMPLES_PER_SLOT], slot_rssi)
             try:
                 self.socks[chan].send(msg, flags=zmq.DONTWAIT)
             except zmq.Again:
                 pass  # MMDVMHost not draining: drop, like the reference
             self._pending[chan] = self._pending[chan][SAMPLES_PER_SLOT:]
             self._ctrl[chan] = self._ctrl[chan][SAMPLES_PER_SLOT:]
+            self._rssi[chan] = self._rssi[chan][1:]
 
     def close(self):
         for s in self.socks:

@@ -78,6 +78,14 @@ MODES = {
                                             target_rate=500_000, **k),
                       lambda **k: QpskMod(symbol_rate=125_000, **k),
                       framing="QPSK250K", bit_rate=250000),
+    # video over DQPSK: the QPSK250K waveform with the 3122-byte video
+    # frame budget (reference gr_modem.cpp:159-162, modem_types.h
+    # ModemTypeQPSKVideo)
+    "QPSKVideo": _spec("QPSKVideo", "video",
+                       lambda **k: QpskDemod(symbol_rate=125_000,
+                                             target_rate=500_000, **k),
+                       lambda **k: QpskMod(symbol_rate=125_000, **k),
+                       framing="QPSKVideo", bit_rate=250000),
     "2FSK2K": _spec("2FSK2K", "digital_voice",
                     lambda **k: Fsk2Demod(symbol_rate=2000, **k),
                     lambda **k: Fsk2Mod(symbol_rate=2000, **k),

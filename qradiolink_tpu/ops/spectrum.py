@@ -41,6 +41,18 @@ def rssi_dbm(x: jnp.ndarray, cal_offset_db: float = 0.0) -> jnp.ndarray:
     return 10.0 * jnp.log10(p + 1e-20) + cal_offset_db
 
 
+def rssi_dbm_slots(x: jnp.ndarray, slot_len: int = 720,
+                   cal_offset_db: float = 0.0) -> jnp.ndarray:
+    """Per-burst RSSI: one dB value per slot_len-sample window (the
+    reference's rssi_tag_block tags every 720-sample MMDVM burst,
+    src/gr/rssi_tag_block.cpp). Trailing samples short of a full slot
+    are dropped. Returns (..., T // slot_len)."""
+    n = (x.shape[-1] // slot_len) * slot_len
+    w = x[..., :n].reshape(*x.shape[:-1], n // slot_len, slot_len)
+    p = jnp.mean(w.real**2 + w.imag**2, axis=-1)
+    return 10.0 * jnp.log10(p + 1e-20) + cal_offset_db
+
+
 class RssiProbe(Block):
     """Streaming RSSI: moving average then single-pole IIR, per block output."""
 

@@ -135,3 +135,51 @@ def test_scan_memory_channels():
 
     hit = ctl.scan_memory_channels(chans, iq_source, blocks_per_channel=1)
     assert hit is not None and hit.name == "active"
+
+
+def test_wideband_digital_voice_uses_opus():
+    """QPSK20K voice must dispatch Opus (47-byte CBR packets, one per
+    layer-1 frame), not Codec2 (reference radiocontroller.cpp:667,
+    :1462)."""
+    import pytest
+    from qradiolink_tpu.audio.codecs import opus_available, codec2_available
+    if not (opus_available() and codec2_available()):
+        pytest.skip("codec libraries missing")
+    import jax.numpy as jnp
+    from qradiolink_tpu.chains.channel import ChannelModel
+
+    s = Settings()
+    s.rx_mode = s.tx_mode = "QPSK20K"
+    ctl = RadioController(s)
+    assert ctl._voice_codec("QPSK20K") == ("opus",)
+    assert ctl._voice_codec("4FSK2K") == ("codec2", 1400)
+    assert ctl._voice_codec("BPSK1K") == ("codec2", 700)
+    assert ctl._voice_codec("M17") == ("codec2", 3200)
+
+    ctl.start_transmission()
+    t = np.arange(8000) / 8000.0
+    pcm = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pre = ctl.tx_bytes(b"\xaa" * 1500)
+    iq = ctl.tx_audio_block(pcm)
+    post = ctl.tx_bytes(b"\xaa" * 1500)
+    assert iq is not None
+    full = np.concatenate([pre, iq, post])
+    full = np.asarray(ChannelModel(1_000_000, snr_db=25.0, seed=6)(
+        jnp.asarray(full)))
+
+    rx = RadioController(s)
+    rx.toggle_rx_mode("QPSK20K")
+    events = []
+    blk = 50_000
+    m = len(full) - len(full) % blk
+    for i in range(0, m, blk):
+        events.extend(rx.rx_block(jnp.asarray(full[i:i + blk])))
+    audio = np.concatenate([e.audio for e in events if e.kind == "audio"
+                            and e.audio.size]) \
+        if any(e.kind == "audio" for e in events) else np.zeros(0)
+    assert audio.size > 4000, "no Opus audio decoded over the loopback"
+    # the 440 Hz tone must dominate the decoded audio spectrum
+    sp = np.abs(np.fft.rfft(audio * np.hanning(audio.size))) ** 2
+    f = np.fft.rfftfreq(audio.size, 1 / 8000.0)
+    peak = f[np.argmax(sp[1:]) + 1]
+    assert abs(peak - 440.0) < 30.0, f"peak at {peak} Hz"

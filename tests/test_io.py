@@ -152,3 +152,64 @@ def test_memory_channels_roundtrip(tmp_path):
     c2 = RadioChannels.load(p)
     assert len(c2.channels) == 2
     assert c2.channels[1].rx_mode == "4FSK2K"
+
+
+def test_mmdvm_tx_poller_against_fake_mmdvmhost(tmp_path):
+    """REQ/REP poll path (reference gr_mmdvm_source.cpp:117-130): a fake
+    MMDVMHost REP socket serves one burst then idle replies."""
+    import threading
+    import numpy as np
+    import zmq
+    from qradiolink_tpu.io.mmdvm_transport import (
+        MmdvmTxPoller, pack_tx_message, unpack_tx_message, MARK_SLOT1)
+
+    path = f"ipc://{tmp_path}/mmdvm-tx1.ipc"
+    ctx = zmq.Context.instance()
+    rep = ctx.socket(zmq.REP)
+    rep.bind(path)
+    burst = (np.arange(720) % 100).astype(np.int16)
+    ctrl = np.full(720, MARK_SLOT1, np.uint8)
+
+    def serve():
+        # first poll -> a real burst; second -> idle (empty) reply
+        rep.recv()
+        rep.send(pack_tx_message(burst, ctrl))
+        rep.recv()
+        rep.send(pack_tx_message(np.zeros(0, np.int16),
+                                 np.zeros(0, np.uint8)))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    poller = MmdvmTxPoller(1, path_tpl=path.replace("tx1", "tx{}")
+                           if "tx1" in path else path, timeout_ms=2000)
+    got = poller.poll(0)
+    assert got is not None
+    samples, control = got
+    np.testing.assert_array_equal(samples, burst)
+    np.testing.assert_array_equal(control, ctrl)
+    # idle reply -> zero-length burst (the radio then fills with zeros,
+    # gr_mmdvm_source idle-fill semantics)
+    got2 = poller.poll(0)
+    assert got2 is not None and got2[0].size == 0
+    t.join(timeout=2)
+    poller.close()
+    rep.close(0)
+
+
+def test_mmdvm_per_slot_rssi():
+    """Chains report one RSSI value per 720-sample slot and the
+    publisher tags each slot message with its own value."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qradiolink_tpu.chains.mmdvm import MmdvmDemod
+
+    dem = MmdvmDemod()
+    n = 250_000  # -> 24000 samples @24k = 33 slots
+    rng = np.random.default_rng(0)
+    # amplitude step halfway: per-slot RSSI must show the step
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.01
+    iq[n // 2:] *= 20.0
+    _, out = dem(dem.init_state(), jnp.asarray(iq.astype(np.complex64)))
+    slots = np.asarray(out["rssi_slots"])
+    assert slots.ndim == 1 and slots.size >= 30
+    assert slots[-2] - slots[2] > 20.0, "per-slot RSSI missed the step"

@@ -76,11 +76,10 @@ def v_pallas(x2):
             pl.BlockSpec((CT, NT, D), lambda i, j: (i, j + 1, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CT, NT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-    )(xf)
+    )(xf, xf)
 
 want = None
-for name, fn in (("slices", v_slices), ("conv", v_conv),
-                 ("frames", v_frames), ("pallas", v_pallas)):
+for name, fn in (("frames", v_frames), ("pallas", v_pallas)):
     try:
         y = timeit(name, fn)
         if want is None:

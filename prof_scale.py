@@ -2,7 +2,7 @@ import time, numpy as np, jax, jax.numpy as jnp
 from qradiolink_tpu.chains.fsk import Fsk4DemodFF
 from qradiolink_tpu.core import device_init_state, put_iq
 
-def bench(n_ch, t, n=8):
+def bench(n_ch, t, n=10):
     chain = Fsk4DemodFF(lead_shape=(n_ch,))
     state = device_init_state(chain)
     rng = np.random.default_rng(0)
@@ -15,8 +15,7 @@ def bench(n_ch, t, n=8):
         st, out = step(st, iq)
     float(fence(out))
     dt = (time.perf_counter()-t0)/n
-    msps = n_ch*t/dt/1e6
-    print(f"n_ch={n_ch:4d} t={t:7d}: {dt*1e3:7.2f} ms/step  {msps:8.1f} Msps", flush=True)
+    print(f"n_ch={n_ch:4d} t={t:7d}: {dt*1e3:7.2f} ms/step  {n_ch*t/dt/1e6:8.1f} Msps  ({n_ch*t/dt/1e6/n_ch:.1f}x rt/ch)", flush=True)
 
 bench(64, 200_000)
 bench(128, 200_000)

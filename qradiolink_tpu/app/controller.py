@@ -241,13 +241,27 @@ class RadioController:
 
     def tx_audio_block(self, pcm: np.ndarray):
         """Voice TX: PCM (8 kHz float) -> IQ, or None when VOX-gated /
-        not transmitting (reference txAudio, radiocontroller.cpp:542-682)."""
+        not transmitting (reference txAudio, radiocontroller.cpp:542-682).
+        With settings.audio_compressor, the TX audio runs through the
+        per-mode compressor + Codec2 band-pass (AudioProcessor
+        write_preprocess, radiocontroller.cpp readAudio preprocess)."""
         if not self._transmitting:
             return None
         vox = self.settings.vox_level
         if vox > 0 and float(np.sqrt(np.mean(pcm ** 2))) < vox:
             return None
         spec = get_mode(self._tx_mode)
+        if self.settings.audio_compressor:
+            if not hasattr(self, "_audio_proc"):
+                from qradiolink_tpu.audio.processor import AudioProcessor
+                self._audio_proc = AudioProcessor()
+            if spec.kind == "analog":
+                amode = self._audio_proc.AUDIO_MODE_ANALOG
+            elif self._voice_codec(self._tx_mode or "")[0] == "opus":
+                amode = self._audio_proc.AUDIO_MODE_OPUS
+            else:
+                amode = self._audio_proc.AUDIO_MODE_CODEC2
+            pcm = self._audio_proc.write_preprocess(pcm, amode)
         if spec.kind == "analog":
             self._tx_state, out = self._tx(
                 self._tx_state, jnp.asarray(pcm * self.settings.tx_volume))

@@ -18,5 +18,5 @@ def bench(n_ch, t, n=10):
     print(f"n_ch={n_ch:4d} t={t:7d}: {dt*1e3:7.2f} ms/step  {n_ch*t/dt/1e6:8.1f} Msps  ({n_ch*t/dt/1e6/n_ch:.1f}x rt/ch)", flush=True)
 
 bench(64, 200_000)
-bench(128, 200_000)
+
 bench(256, 200_000)

@@ -119,6 +119,11 @@ class CommandProcessor:
         add("setradiochan", 1, "Set radio channel (integer value)",
             self._set_chan)
         add("shutdown", 0, "Shutdown and exit", self._shutdown)
+        add("gettxlimits", 0, "Get status of TX band limiter",
+            lambda: "TX band limits enabled" if s.tx_band_limits
+            else "TX band limits disabled")
+        add("settxlimits", 1, "Toggle TX band limits, (1 enabled, 0 disabled)",
+            self._set_tx_limits)
         # verbs whose subsystem is hosted elsewhere / absent
         for name, nargs, txt in (
                 ("connectserver", 2, "Connect to Mumble server"),
@@ -289,6 +294,13 @@ class CommandProcessor:
         self.settings.tx_mode = ch.tx_mode
         self.ctl.toggle_rx_mode(ch.rx_mode)
         return f"Changing to memory channel {ch.name}"
+
+    def _set_tx_limits(self, v):
+        b = self._bool_param(v)
+        if b is None:
+            return None
+        self.settings.tx_band_limits = bool(b)
+        return f"Setting TX band limits to {b}"
 
     def _shutdown(self):
         self.shutdown_requested = True

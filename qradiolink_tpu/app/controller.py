@@ -219,7 +219,16 @@ class RadioController:
         self.log.info("TX mode %s", mode)
 
     def start_transmission(self):
-        """PTT down (reference startTransmission -> startTx)."""
+        """PTT down (reference startTransmission -> startTx). With
+        tx_band_limits the IARU band plan is enforced
+        (radiocontroller TX limiter via limits.cpp:19-43)."""
+        if self.settings.tx_band_limits:
+            from qradiolink_tpu.app.limits import check_limit
+            freq = self.settings.rx_frequency + self.settings.tx_shift
+            if not check_limit(freq):
+                self.log.warning(
+                    "TX at %d Hz outside amateur allocation, blocked", freq)
+                return
         if self._tx is None:
             self.toggle_tx_mode(self.settings.tx_mode)
         self._transmitting = True

@@ -226,6 +226,9 @@ class DmrControl:
         self._emb_frags_tx = self._fragments_for_superframe(0)
         self._tx_header_pending = False
 
+        from qradiolink_tpu.protocols.dmr_data import DmrMessageHandler
+        self._data_handler = DmrMessageHandler()
+
         # callbacks
         self.on_digital_audio: Callable | None = None
         self.on_header: Callable | None = None
@@ -233,6 +236,7 @@ class DmrControl:
         self.on_talker_alias: Callable | None = None
         self.on_gps: Callable | None = None
         self.on_csbk: Callable | None = None
+        self.on_data_message: Callable | None = None
 
     # ------------------------------------------------------------------ TX
     def _make_tx_lc(self) -> LinkControl:
@@ -410,6 +414,10 @@ class DmrControl:
                 self._process_csbk(burst, slot_no)
             elif burst.data_type == dmr.DT_DATA_HEADER:
                 self._process_data_header(burst, slot_no)
+            elif burst.data_type in (dmr.DT_RATE_12_DATA,
+                                     dmr.DT_RATE_34_DATA,
+                                     dmr.DT_RATE_1_DATA):
+                self._process_data_block(burst, slot_no)
 
     def _process_audio(self, burst: DecodedBurst, slot_no):
         if not self._check_color_code(burst.color_code, True):
@@ -484,6 +492,25 @@ class DmrControl:
     def _process_data_header(self, burst: DecodedBurst, slot_no):
         if not self._check_color_code(burst.color_code, None):
             return
+        hdr = self._data_handler.process_header(bytes(burst.payload[:12]))
+        if hdr is None:
+            return
         self.rx_state = RX_DATA
+        self._rx_call = CallInfo(src_id=hdr.src_id, dst_id=hdr.dst_id,
+                                 slot=slot_no or 0)
         if self.on_header:
-            self.on_header(CallInfo(slot=slot_no or 0))
+            self.on_header(self._rx_call)
+
+    def _process_data_block(self, burst: DecodedBurst, slot_no):
+        """Data-call payload blocks feed the reassembler
+        (dmrcontrol.cpp processDataBlock + DMRMessageHandler)"""
+        if self.rx_state != RX_DATA:
+            return
+        if not self._check_color_code(burst.color_code, True):
+            return
+        msg = self._data_handler.process_block(
+            burst.data_type, bytes(burst.payload), self._rx_call.src_id)
+        if msg is not None:
+            self.rx_state = RX_IDLE
+            if self.on_data_message:
+                self.on_data_message(msg)

@@ -369,3 +369,101 @@ class RadioController:
                               ch.name, max(rssi_vals))
                 return ch
         return None
+
+
+class FrequencyScanner:
+    """Frequency scan over the receiver's passband (reference
+    radiocontroller.cpp:2949-3034): the demod carrier offset steps by
+    scan_step within +-fs/2; crossing an edge retunes the main carrier
+    by one sample-rate span. A signal (squelch open) pauses the scan
+    for scan_resume seconds, timed in sample time like everything else.
+    """
+
+    def __init__(self, controller, step_hz: int = 12_500,
+                 direction: int = 1, dwell_s: float = 0.120):
+        self.ctl = controller
+        self.step = int(step_hz) * (1 if direction else -1)
+        self.dwell = float(dwell_s)
+        fs = controller.settings.rx_sample_rate
+        self.lower, self.upper = -fs // 2, fs // 2
+        self.freq = controller.settings.demod_offset
+        self.active = True
+        self._stop_until = None
+        self._last_step_t = None
+
+    def stop(self):
+        self.active = False
+        self.ctl.settings.demod_offset = self.freq
+
+    def tick(self, receiving: bool, now_s: float):
+        """One scan-loop iteration (reference scan()): call with the
+        squelch/reception state and the current sample time."""
+        if not self.active:
+            return
+        s = self.ctl.settings
+        if receiving:
+            self._stop_until = now_s + s.scan_resume_ms / 1000.0
+            return
+        if self._stop_until is not None and now_s < self._stop_until:
+            return
+        self._stop_until = None
+        if self._last_step_t is not None and \
+                now_s - self._last_step_t < self.dwell:
+            return
+        self._last_step_t = now_s
+        self.freq += self.step
+        if self.freq >= self.upper:
+            self.freq = self.lower + (self.freq - self.upper)
+            s.rx_frequency += s.rx_sample_rate
+        elif self.freq <= self.lower:
+            self.freq = self.upper - (self.lower - self.freq)
+            s.rx_frequency -= s.rx_sample_rate
+        s.demod_offset = self.freq
+        self.ctl.set_carrier_offset(self.freq)
+
+
+class RepeaterForwarder:
+    """Digital repeater: decoded RX events re-transmitted on the TX
+    chain (reference radiocontroller.cpp:1791-1845 textReceived /
+    callsignReceived / digital audio forwarding with repeater_enabled).
+    """
+
+    def __init__(self, controller):
+        self.ctl = controller
+
+    def forward(self, events) -> list:
+        """RxEvents -> list of IQ blocks to retransmit."""
+        out = []
+        if not self.ctl.settings.repeater_enabled:
+            return out
+        for ev in events:
+            if ev.kind == "frame" and ev.frame_type in (
+                    int(FrameType.VOICE_1), int(FrameType.VOICE_2)):
+                if self.ctl._framer is None:
+                    self.ctl.toggle_tx_mode(self.ctl.settings.tx_mode)
+                data = self.ctl.frame_voice(ev.payload)
+                out.append(self.ctl.tx_bytes(data))
+            elif ev.kind == "audio" and ev.audio is not None \
+                    and ev.audio.size:
+                was = self.ctl._transmitting
+                self.ctl._transmitting = True
+                iq = self.ctl.tx_audio_block(ev.audio)
+                self.ctl._transmitting = was
+                if iq is not None:
+                    out.append(iq)
+            elif ev.kind == "text" and ev.text:
+                out.append(self.ctl.tx_text(ev.text))
+        return out
+
+
+def beacon_frame(controller, callsign: str | None = None) -> bytes:
+    """Repeater info beacon payload (reference
+    transmitServerInfoBeacon -> Layer2::buildRepeaterInfo)."""
+    from qradiolink_tpu.framing.layer2 import (
+        build_layer2_frame, MSG_REPEATER_INFO)
+    import struct
+    s = controller.settings
+    cs = (callsign or s.callsign).encode("ascii")[:16]
+    body = struct.pack(">qqB", s.rx_frequency, s.rx_frequency + s.tx_shift,
+                       len(cs)) + cs
+    return build_layer2_frame(body, MSG_REPEATER_INFO)

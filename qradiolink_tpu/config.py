@@ -45,6 +45,7 @@ class Settings:
     mmdvm_channel_separation: int = 25_000
     burst_delay_msec: int = 60
     # control
+    repeater_enabled: bool = False    # digital repeater forwarding
     tx_band_limits: bool = False      # enforce IARU band plan on TX
     tot_seconds: float = 120.0        # TX timeout timer
     rx_timeout_ms: int = 200          # data watchdog (radiocontroller:336)

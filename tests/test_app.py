@@ -183,3 +183,63 @@ def test_wideband_digital_voice_uses_opus():
     f = np.fft.rfftfreq(audio.size, 1 / 8000.0)
     peak = f[np.argmax(sp[1:]) + 1]
     assert abs(peak - 440.0) < 30.0, f"peak at {peak} Hz"
+
+
+def test_frequency_scan_steps_and_pauses():
+    from qradiolink_tpu.app.controller import FrequencyScanner
+    s = Settings()
+    s.rx_sample_rate = 1_000_000
+    s.scan_resume_ms = 5000
+    ctl = RadioController(s)
+    sc = FrequencyScanner(ctl, step_hz=100_000)
+    t = 0.0
+    for i in range(4):
+        sc.tick(receiving=False, now_s=t)
+        t += 0.2
+    assert s.demod_offset == 400_000
+    # crossing the upper edge wraps and bumps the main carrier
+    f0 = s.rx_frequency
+    sc.tick(receiving=False, now_s=t); t += 0.2
+    assert s.rx_frequency == f0 + 1_000_000
+    assert s.demod_offset == -500_000 + 0
+    # a signal pauses the scan for scan_resume_ms
+    off = s.demod_offset
+    sc.tick(receiving=True, now_s=t)
+    sc.tick(receiving=False, now_s=t + 1.0)
+    assert s.demod_offset == off
+    sc.tick(receiving=False, now_s=t + 5.2)
+    assert s.demod_offset != off
+    sc.stop()
+    assert not sc.active
+
+
+def test_repeater_forwards_text():
+    from qradiolink_tpu.app.controller import (
+        RepeaterForwarder, RxEvent)
+    s = Settings()
+    s.rx_mode = s.tx_mode = "4FSK2K"
+    s.repeater_enabled = True
+    ctl = RadioController(s)
+    fwd = RepeaterForwarder(ctl)
+    out = fwd.forward([RxEvent("text", text="CQ CQ")])
+    assert len(out) == 1 and out[0].size > 0
+    s.repeater_enabled = False
+    assert fwd.forward([RxEvent("text", text="CQ")]) == []
+
+
+def test_beacon_frame_roundtrip():
+    from qradiolink_tpu.app.controller import beacon_frame
+    from qradiolink_tpu.framing.layer2 import (
+        parse_layer2_frame, MSG_REPEATER_INFO)
+    import struct
+    s = Settings()
+    s.callsign = "N0REP"
+    s.rx_frequency = 439_000_000
+    s.tx_shift = -7_600_000
+    ctl = RadioController(s)
+    frame = beacon_frame(ctl)
+    msg_type, payload = parse_layer2_frame(frame)
+    assert msg_type == MSG_REPEATER_INFO
+    rx_f, tx_f, n = struct.unpack(">qqB", payload[:17])
+    assert rx_f == 439_000_000 and tx_f == 431_400_000
+    assert payload[17:17 + n] == b"N0REP"

@@ -134,3 +134,60 @@ def test_layer2_crc_failure():
     frame = bytearray(build_layer2_frame(b"abc"))
     frame[6] ^= 0xFF
     assert parse_layer2_frame(bytes(frame)) is None
+
+
+def test_layer2_protobuf_wire_compat():
+    """Our minimal proto2 codec must interchange with real protobuf
+    (validated against protoc-generated python when available, else
+    self-roundtrip)."""
+    from qradiolink_tpu.framing.layer2 import (
+        PageMessage, page_message_to_proto, page_message_from_proto,
+        repeater_info_to_proto, repeater_info_from_proto)
+
+    m = PageMessage(target_callsign="N0CALL", source_callsign="M0ABC",
+                    message="hello page")
+    wire = page_message_to_proto(m)
+    got = page_message_from_proto(wire)
+    assert got.target_callsign == "N0CALL"
+    assert got.source_callsign == "M0ABC" and got.message == "hello page"
+
+    chans = [(1, 0, "Main", "Main channel"), (2, 1, "Sub", "")]
+    users = [(7, "op1", 100, 1)]
+    wire2 = repeater_info_to_proto(chans, users)
+    c2, u2 = repeater_info_from_proto(wire2)
+    assert c2 == chans and u2 == users
+
+    # cross-validate against the real protobuf runtime if installed
+    try:
+        import subprocess, tempfile, os, sys
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return
+    with tempfile.TemporaryDirectory() as td:
+        proto = os.path.join(td, "QRadioLink.proto")
+        open(proto, "w").write('''
+syntax="proto2";
+package QRadioLink;
+message PageMessage {
+    required string calling_user = 1;
+    required string called_user = 2;
+    optional string msg = 3;
+    optional bool retransmit = 4;
+}
+''')
+        r = subprocess.run(["protoc", f"--python_out={td}",
+                            f"--proto_path={td}", proto],
+                           capture_output=True)
+        if r.returncode != 0:
+            return
+        sys.path.insert(0, td)
+        try:
+            import QRadioLink_pb2 as pb
+            msg = pb.PageMessage()
+            msg.ParseFromString(wire)
+            assert msg.calling_user == "M0ABC"
+            assert msg.called_user == "N0CALL"
+            assert msg.msg == "hello page"
+        finally:
+            sys.path.remove(td)
+            sys.modules.pop("QRadioLink_pb2", None)

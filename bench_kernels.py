@@ -70,6 +70,15 @@ def kernel_benches(C=128, T=200_000):
 
     rng = np.random.default_rng(0)
 
+    # 0. dispatch floor: a trivial op — on the tunneled axon chip each
+    # pallas_call/jit dispatch costs ~2-2.5 ms regardless of size, so
+    # single-kernel times sit on this floor; the fused whole-chain
+    # dispatch amortizes it (which is why chains beat kernel sums)
+    xz = jnp.ones((8, 128), jnp.float32)
+    f0 = jax.jit(lambda v: v * 1.0001)
+    dt = _time(f0, xz)
+    report("dispatch_floor_noop", dt, bytes_moved=xz.size * 8, flops=xz.size)
+
     # 1. decimating front FIR (1 Msps -> 20 ksps head, 419 taps /50)
     taps = firdes.low_pass(1.0, 1_000_000, 10_000, 10_000,
                            firdes.WIN_BLACKMAN_HARRIS)

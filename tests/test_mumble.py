@@ -153,3 +153,61 @@ def test_voice_packet_format():
     assert data[pos:pos + (ln & 0x1FFF)] == payload
     cl.close()
     srv.join(timeout=2)
+
+
+def test_voip_forwarder_text_remote_control():
+    """Private Mumble texts drive the command processor; responses go
+    back as texts (reference commandprocessor.h:131)."""
+    from qradiolink_tpu.voip.forwarder import VoipForwarder
+    from qradiolink_tpu.app.command import CommandProcessor
+    from qradiolink_tpu.app.controller import RadioController
+    from qradiolink_tpu.config import Settings
+
+    class StubClient:
+        synchronized = True
+        sent = []
+        def __init__(self):
+            self.on_voice = None
+            self.on_text = None
+        def send_text(self, m, **kw):
+            self.sent.append(m)
+
+    cl = StubClient()
+    ctl = RadioController(Settings())
+    fwd = VoipForwarder(cl, codec=None,
+                        command_processor=CommandProcessor(ctl))
+    cl.on_text("rxstatus", "op", False)      # private -> command
+    assert cl.sent and "RX inactive" in cl.sent[0]
+    cl.sent.clear()
+    cl.on_text("chat chatter", "op", True)   # channel msg -> ignored
+    assert not cl.sent
+
+
+def test_voip_forwarder_voice_mixing():
+    import pytest
+    from qradiolink_tpu.audio.codecs import opus_available
+    if not opus_available():
+        pytest.skip("opus missing")
+    from qradiolink_tpu.voip.forwarder import VoipForwarder
+    from qradiolink_tpu.audio.codecs import AudioEncoder
+
+    class StubClient:
+        synchronized = True
+        packets = []
+        def __init__(self):
+            self.on_voice = None
+            self.on_text = None
+        def send_opus_voice(self, p, **kw):
+            self.packets.append(p)
+
+    cl = StubClient()
+    fwd = VoipForwarder(cl, codec=AudioEncoder())
+    t = np.arange(640) / 8000.0
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    fwd.radio_rx_audio(tone)
+    assert len(cl.packets) == 2          # two 40 ms Opus packets
+    # loop one back in as if from user 33 and mix
+    cl.on_voice(33, cl.packets[0])
+    frame = fwd.mixed_frame()
+    assert frame is not None and frame.shape == (320,)
+    assert np.abs(frame).max() > 500

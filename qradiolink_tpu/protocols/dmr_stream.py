@@ -243,3 +243,86 @@ def build_bs_stream(slot1_bursts, slot2_bursts, lead_idle: int = 0):
             cach = cach_encode(1, sn - 1, 0)
             out.append(np.concatenate([cach, np.asarray(b, np.uint8)]))
     return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# DMO soft-correlation sink (reference src/gr/gr_dmr_dmo_sink.cpp,
+# 396 LoC): direct-mode reception correlates the raw RRC-filtered FM
+# discriminator (24 ksps float, the chain's "soft" tap) against the
+# DMO sync SYMBOL waveforms, then slices the burst with an adaptive
+# centre/threshold derived from the sync's min/max — robust to DC
+# offset and level error, unlike the hard-bit path.
+
+_DMO_LEVELS = np.array([3.0, 1.0, -1.0, -3.0], np.float32)
+
+
+def _sync_symbol_values(sync_bits: np.ndarray) -> np.ndarray:
+    """48 sync bits -> 24 nominal 4FSK symbol values {+-1, +-3}."""
+    b = np.asarray(sync_bits, np.uint8).reshape(24, 2)
+    idx = b[:, 0] * 2 + b[:, 1]
+    return _DMO_LEVELS[idx]
+
+
+def find_bursts_dmo(soft: np.ndarray, sps: int = SAMPLES_PER_SYMBOL,
+                    syncs: dict | None = None,
+                    min_corr_ratio: float = 0.55):
+    """Correlate a 24 ksps soft stream against DMO/MS sync waveforms.
+
+    Returns [(burst_start_sample, DecodedBurst, sync_name)] for each
+    detected burst. Correlation is the vectorized form of the
+    reference's per-sample symbol-spaced multiply-accumulate
+    (gr_dmr_dmo_sink.cpp correlateSync): corr[n] = sum_i v[i] *
+    soft[n + i*sps]; a peak is accepted when it exceeds
+    min_corr_ratio * (|v| * local RMS) and the adaptively-sliced sync
+    matches within the reference's byte-error budget.
+    """
+    from qradiolink_tpu.protocols import dmr as _dmr
+    soft = np.asarray(soft, np.float32).ravel()
+    if syncs is None:
+        syncs = {"dmo1_audio": _dmr.SYNC_DMO1_AUDIO,
+                 "dmo1_data": _dmr.SYNC_DMO1_DATA,
+                 "ms_audio": _dmr.SYNC_MS_AUDIO,
+                 "ms_data": _dmr.SYNC_MS_DATA}
+    n_sym = 24
+    span = (n_sym - 1) * sps + 1
+    if soft.size < span:
+        return []
+    # (offsets, 24) symbol-spaced windows
+    win = np.lib.stride_tricks.sliding_window_view(soft, span)[:, ::sps]
+    results = []
+    hits_mask = np.zeros(soft.size, bool)
+    for name, bits in syncs.items():
+        v = _sync_symbol_values(bits)
+        corr = win @ v
+        # normalized against the windowed energy (scale-invariant)
+        energy = np.sqrt((win ** 2).sum(-1) * (v ** 2).sum()) + 1e-9
+        score = corr / energy
+        cand = np.nonzero(score > min_corr_ratio)[0]
+        for pos in cand:
+            # local maximum within +-sps
+            lo, hi = max(0, pos - sps), min(len(score), pos + sps + 1)
+            if score[pos] < score[lo:hi].max():
+                continue
+            # sync starts at symbol 54 of the burst
+            burst_start = int(pos) - 54 * sps
+            if burst_start < 0 or \
+                    burst_start + 132 * sps > soft.size:
+                continue
+            if hits_mask[pos]:
+                continue
+            # adaptive slicer from the sync window (reference
+            # centre/threshold computation)
+            sync_samples = win[pos]
+            centre = (sync_samples.max() + sync_samples.min()) / 2.0
+            threshold = (sync_samples.max() - centre) / 2.0
+            syms = soft[burst_start: burst_start + 132 * sps: sps]
+            b_hi = (syms < centre).astype(np.uint8)
+            b_lo = (np.abs(syms - centre) > threshold).astype(np.uint8)
+            burst_bits = np.stack([b_hi, b_lo], -1).reshape(-1)
+            decoded = decode_burst(burst_bits)
+            if decoded.kind == "unknown":
+                continue
+            hits_mask[max(0, pos - 60 * sps):pos + 60 * sps] = True
+            results.append((burst_start, decoded, name))
+    results.sort(key=lambda r: r[0])
+    return results

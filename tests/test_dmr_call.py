@@ -251,3 +251,41 @@ def test_tx_stream_blocks_and_mask():
     on = np.nonzero(np.concatenate([mask1, mask2]))[0]
     b0 = on[0] // 5 * 2
     np.testing.assert_array_equal(got[b0:b0 + 264], burst)
+
+
+def test_dmo_soft_correlation_sink():
+    """DMO float-correlation reception (reference gr_dmr_dmo_sink):
+    bursts found and decoded from the soft 24 ksps stream despite DC
+    offset and level scaling that break fixed-threshold slicing."""
+    from qradiolink_tpu.protocols.dmr_stream import find_bursts_dmo
+    from qradiolink_tpu.protocols.dmr import (
+        SYNC_DMO1_AUDIO, SYNC_DMO1_DATA, make_lc_burst, make_voice_burst)
+
+    rng = np.random.default_rng(5)
+    lc = LinkControl(flco=dmr.FLCO_GROUP, src_id=333, dst_id=9)
+    voice = np.random.default_rng(1).integers(0, 2, 216).astype(np.uint8)
+    bursts = [
+        make_lc_burst(lc, 1, DT_VOICE_LC_HEADER, sync=SYNC_DMO1_DATA),
+        make_voice_burst(voice, 1, 0, sync=SYNC_DMO1_AUDIO),
+    ]
+    # symbol-domain soft stream at 5 sps with gaps between bursts
+    lv = np.array([1.0, 3.0, -1.0, -3.0])  # dibit {00,01,10,11} levels
+    parts = [np.zeros(400, np.float32)]
+    for b in bursts:
+        pairs = b.reshape(132, 2)
+        syms = lv[pairs[:, 0] * 2 + pairs[:, 1]]
+        parts.append(np.repeat(syms, 5).astype(np.float32))
+        parts.append(np.zeros(600, np.float32))
+    soft = np.concatenate(parts)
+    # level error + DC offset + noise
+    soft = soft * 0.4 + 0.35 + rng.standard_normal(soft.size) * 0.08
+
+    hits = find_bursts_dmo(soft)
+    kinds = [(d.kind, name) for _s, d, name in hits]
+    assert ("data", "dmo1_data") in kinds, kinds
+    assert any(k == "voice_sync" for k, _ in kinds), kinds
+    for _s, d, name in hits:
+        if d.kind == "data":
+            assert d.lc.src_id == 333 and d.lc.dst_id == 9
+        if d.kind == "voice_sync":
+            np.testing.assert_array_equal(d.voice_bits, voice)

@@ -213,3 +213,74 @@ def test_mmdvm_per_slot_rssi():
     slots = np.asarray(out["rssi_slots"])
     assert slots.ndim == 1 and slots.size >= 30
     assert slots[-2] - slots[2] > 20.0, "per-slot RSSI missed the step"
+
+
+def test_audio_recorder(tmp_path):
+    import numpy as np
+    from qradiolink_tpu.audio.recorder import AudioRecorder
+    from qradiolink_tpu.io.wav import read_wav
+    rec = AudioRecorder(tmp_path)
+    assert not rec.recording
+    p = rec.start("testrec")
+    t = np.arange(8000) / 8000.0
+    tone = (0.5 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    rec.write(tone)
+    rec.write(tone)
+    out = rec.stop()
+    assert out == p and not rec.recording
+    samples, rate = read_wav(out)
+    assert rate == 8000 and samples.size == 16000
+    assert abs(np.abs(samples).max() - 0.5) < 0.01
+
+
+def test_zmq_udp_proxy(tmp_path):
+    """UDP audio in -> MMDVM slot messages out; MMDVMHost TX reply ->
+    UDP out (reference zeromqclient.cpp pthread loops, poll-driven)."""
+    import threading
+    import numpy as np
+    import zmq
+    from qradiolink_tpu.io.zmq_proxy import ZmqUdpProxy
+    from qradiolink_tpu.io.mmdvm_transport import (
+        unpack_rx_message, pack_tx_message)
+
+    rx_path = f"ipc://{tmp_path}/prx.ipc"
+    tx_path = f"ipc://{tmp_path}/ptx.ipc"
+    ctx = zmq.Context.instance()
+    # fake MMDVMHost: PULL baseband, REP serves one TX burst
+    pull = ctx.socket(zmq.PULL)
+    pull.setsockopt(zmq.RCVTIMEO, 2000)
+    rep = ctx.socket(zmq.REP)
+    rep.bind(tx_path)
+    burst = (np.arange(720) % 50).astype(np.int16)
+
+    def serve():
+        rep.recv()
+        rep.send(pack_tx_message(burst, np.zeros(720, np.uint8)))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    proxy = ZmqUdpProxy(udp_listen_port=0, udp_send_port=0,
+                        rx_path=rx_path, tx_path=tx_path)
+    pull.connect(rx_path)
+    # point the proxy's UDP TX at our own socket
+    import socket as _s
+    udp_rx = _s.socket(_s.AF_INET, _s.SOCK_DGRAM)
+    udp_rx.bind(("127.0.0.1", 0))
+    udp_rx.settimeout(2.0)
+    proxy.udp_addr = ("127.0.0.1", udp_rx.getsockname()[1])
+    # send 720 samples of UDP audio to the proxy
+    pcm = (np.arange(720) % 99).astype(np.int16)
+    tx_sock = _s.socket(_s.AF_INET, _s.SOCK_DGRAM)
+    tx_sock.sendto(pcm.tobytes(), proxy.udp.getsockname())
+    import time as _t
+    _t.sleep(0.05)
+    pushed, sent = proxy.pump()
+    assert pushed == 1
+    samples, ctrl, rssi = unpack_rx_message(pull.recv())
+    np.testing.assert_array_equal(samples, pcm)
+    # the REQ poll got the fake MMDVMHost burst -> UDP out
+    data, _ = udp_rx.recvfrom(65536)
+    np.testing.assert_array_equal(np.frombuffer(data, np.int16), burst)
+    proxy.close(); pull.close(0); rep.close(0)
+    udp_rx.close(); tx_sock.close()
+    t.join(timeout=2)

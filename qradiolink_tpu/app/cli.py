@@ -98,6 +98,89 @@ def cmd_tx(args):
     return 0
 
 
+def cmd_headless(args):
+    """Headless transceiver service (reference src/main.cpp headless
+    mode): UDP IQ in/out + telnet control (port 4939) + optional
+    GPredict Doppler server + IP-over-radio pump. Runs until the
+    telnet 'shutdown' verb or Ctrl-C."""
+    import time
+    from qradiolink_tpu.io.iq import UdpIqSource, UdpIqSink
+    from qradiolink_tpu.app.command import CommandProcessor
+    from qradiolink_tpu.app.telnet import TelnetServer
+    from qradiolink_tpu.config import RadioChannels
+
+    s = Settings.load(args.config)
+    if args.rx_mode:
+        s.rx_mode = args.rx_mode
+    if args.tx_mode:
+        s.tx_mode = args.tx_mode
+    log = get_logger(logfile=args.log)
+    ctl = RadioController(s, logger=log)
+    channels = RadioChannels.load() if hasattr(RadioChannels, "load") \
+        else RadioChannels()
+    proc = CommandProcessor(ctl, channels=channels)
+    telnet = TelnetServer(proc, port=args.control_port)
+    telnet.start()
+    log.info("telnet control on port %d", telnet.port)
+    gp = None
+    if args.gpredict:
+        from qradiolink_tpu.app.gpredict import GPredictServer
+        gp = GPredictServer(ctl, port=args.gpredict_port)
+        gp.start()
+        log.info("gpredict rigctld on port %d", gp.port)
+    pump = None
+    if args.net:
+        from qradiolink_tpu.net import NetPump, TunTapDevice, \
+            LoopbackNetDevice
+        try:
+            dev = TunTapDevice(args.net_ip)
+        except (PermissionError, OSError) as e:
+            log.warning("TUN/TAP unavailable (%s), loopback device", e)
+            dev = LoopbackNetDevice()
+        pump = NetPump(dev, s.tx_mode if s.tx_mode in
+                       ("QPSK250K", "4FSK100K") else "QPSK250K")
+        ctl.attach_net(pump)
+    if args.start_trx:
+        ctl.toggle_rx_mode(s.rx_mode)
+        ctl.toggle_tx_mode(s.tx_mode)
+    block = _lcm_block(s.rx_mode, s.rx_sample_rate)
+    src = UdpIqSource(args.udp_port, block, timeout=0.5) \
+        if args.udp else None
+    sink = UdpIqSink(args.udp_out_port) if args.udp else None
+    log.info("headless loop running (Ctrl-C to stop)")
+    try:
+        while not telnet.shutdown_requested:
+            did = False
+            if src is not None and ctl._rx is not None:
+                try:
+                    blk = src.read_block()
+                except (TimeoutError, OSError):
+                    blk = None
+                if blk is not None:
+                    for ev in ctl.rx_block(blk):
+                        if ev.kind == "text":
+                            log.info("[text] %s", ev.text)
+                    did = True
+            if pump is not None and ctl.transmitting:
+                iq = ctl.tx_net_poll(pump, 0.05)
+                if iq is not None and sink is not None:
+                    sink.write(iq)
+                    did = True
+            if not did:
+                time.sleep(0.02)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        telnet.stop()
+        if gp:
+            gp.stop()
+        if src:
+            src.close()
+        if sink:
+            sink.close()
+    return 0
+
+
 def cmd_loopback(args):
     """TX -> (AWGN) -> RX in one process: the smoke test that proves an
     installation works (the reference's equivalent is a hardware
@@ -178,6 +261,25 @@ def build_parser() -> argparse.ArgumentParser:
     lb.add_argument("--text", default="qradiolink_tpu loopback test")
     lb.add_argument("--snr", type=float, default=None)
     lb.set_defaults(fn=cmd_loopback)
+
+    h = sub.add_parser("headless",
+                       help="run as a service: UDP IQ + telnet control")
+    h.add_argument("--rx-mode", default=None, choices=sorted(MODES))
+    h.add_argument("--tx-mode", default=None, choices=sorted(MODES))
+    h.add_argument("--start-trx", action="store_true",
+                   help="initialize RX+TX at startup (reference --start-trx)")
+    h.add_argument("--udp", action="store_true",
+                   help="UDP IQ in/out (reference --udp)")
+    h.add_argument("--udp-port", type=int, default=4940)
+    h.add_argument("--udp-out-port", type=int, default=4941)
+    h.add_argument("--control-port", type=int, default=4939)
+    h.add_argument("--gpredict", action="store_true",
+                   help="rigctld Doppler server")
+    h.add_argument("--gpredict-port", type=int, default=4532)
+    h.add_argument("--net", action="store_true",
+                   help="IP-over-radio TAP device + pump")
+    h.add_argument("--net-ip", default="10.0.1.2")
+    h.set_defaults(fn=cmd_headless)
     return p
 
 

@@ -82,13 +82,25 @@ class RadioController:
 
     # ------------------------------------------------------------------ RX
     def toggle_rx_mode(self, mode: str):
-        """(re)build the RX chain (reference toggleRxMode/set_mode)."""
-        spec = get_mode(mode)
-        self._rx_mode = mode
-        self._rx = rx_chain(mode)
-        self._rx_state = self._rx.init_state()
-        self._deframer = Deframer(mode) if spec.framing else None
-        self.set_carrier_offset(self.settings.demod_offset)
+        """(re)build the RX chain (reference toggleRxMode/set_mode).
+        Init failures deinit cleanly and raise after logging (the
+        reference's initError signal + deinit path,
+        radiocontroller.cpp:1968-1983)."""
+        try:
+            spec = get_mode(mode)
+            self._rx_mode = mode
+            self._rx = rx_chain(mode)
+            self._rx_state = self._rx.init_state()
+            self._deframer = Deframer(mode) if spec.framing else None
+            self.set_carrier_offset(self.settings.demod_offset)
+        except Exception as e:
+            self._rx = None
+            self._rx_state = None
+            self._deframer = None
+            self.init_error = str(e)
+            self.log.error("RX init failed for %s: %s", mode, e)
+            raise
+        self.init_error = None
         self.log.info("RX mode %s", mode)
 
     def set_carrier_offset(self, offset_hz: float):
@@ -211,11 +223,20 @@ class RadioController:
 
     # ------------------------------------------------------------------ TX
     def toggle_tx_mode(self, mode: str):
-        spec = get_mode(mode)
-        self._tx_mode = mode
-        self._tx = tx_chain(mode)
-        self._tx_state = self._tx.init_state()
-        self._framer = Layer1Framer(mode) if spec.framing else None
+        try:
+            spec = get_mode(mode)
+            self._tx_mode = mode
+            self._tx = tx_chain(mode)
+            self._tx_state = self._tx.init_state()
+            self._framer = Layer1Framer(mode) if spec.framing else None
+        except Exception as e:
+            self._tx = None
+            self._tx_state = None
+            self._framer = None
+            self.init_error = str(e)
+            self.log.error("TX init failed for %s: %s", mode, e)
+            raise
+        self.init_error = None
         self.log.info("TX mode %s", mode)
 
     def start_transmission(self):

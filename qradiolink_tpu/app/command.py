@@ -124,6 +124,12 @@ class CommandProcessor:
             else "TX band limits disabled")
         add("settxlimits", 1, "Toggle TX band limits, (1 enabled, 0 disabled)",
             self._set_tx_limits)
+        add("recordstatus", 0, "Status of audio recorder",
+            lambda: "Recording" if getattr(self.ctl, "_recorder", None)
+            and self.ctl._recorder.recording else "Not recording")
+        add("setaudiorecorder", 1,
+            "Toggle audio recording, (1 enabled, 0 disabled)",
+            self._set_recorder)
         # verbs whose subsystem is hosted elsewhere / absent
         for name, nargs, txt in (
                 ("connectserver", 2, "Connect to Mumble server"),
@@ -131,7 +137,6 @@ class CommandProcessor:
                 ("mumblemsg", 1, "Send Mumble message"),
                 ("mutemumble", 1, "Mute Mumble connection"),
                 ("setrelays", 1, "Enable relay control"),
-                ("setaudiorecorder", 1, "Toggle audio recording"),
                 ("setrxsamprate", 1, "Set RX sample rate")):
             add(name, nargs, txt,
                 (lambda *a, _n=name:
@@ -294,6 +299,21 @@ class CommandProcessor:
         self.settings.tx_mode = ch.tx_mode
         self.ctl.toggle_rx_mode(ch.rx_mode)
         return f"Changing to memory channel {ch.name}"
+
+    def _set_recorder(self, v):
+        b = self._bool_param(v)
+        if b is None:
+            return None
+        rec = getattr(self.ctl, "_recorder", None)
+        if rec is None:
+            from qradiolink_tpu.audio.recorder import AudioRecorder
+            rec = AudioRecorder()
+            self.ctl.attach_recorder(rec)
+        if b:
+            rec.start()
+        else:
+            rec.stop()
+        return f"Setting audio recording to {b}"
 
     def _set_tx_limits(self, v):
         b = self._bool_param(v)

@@ -113,6 +113,11 @@ class RadioController:
             self._rotator = None
             self._rot_state = None
 
+    def attach_recorder(self, recorder):
+        """RX audio events also append to an audio.recorder.AudioRecorder
+        when it is recording (reference AudioWriter record hooks)."""
+        self._recorder = recorder
+
     def attach_net(self, pump):
         """Connect an IP-over-radio pump (net.NetPump): received IP
         frames are CRC-checked and written to its device (reference
@@ -160,6 +165,9 @@ class RadioController:
                     n = (len(payload) // bpf) * bpf
                     pcm = self._codec.decode_codec2(bytes(payload[:n]), rate)
                 audio = pcm.astype(np.float32) / 32767.0 * self.settings.rx_volume
+                rec = getattr(self, "_recorder", None)
+                if rec is not None and rec.recording:
+                    rec.write(audio)
                 return RxEvent("audio", audio=audio, sample_time=t)
             return RxEvent("frame", frame_type=int(ftype),
                            payload=bytes(payload), sample_time=t)

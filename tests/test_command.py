@@ -85,3 +85,15 @@ def test_telnet_session_changes_mode_and_triggers_tx():
             assert "Bye" in cmd("quit")
     finally:
         srv.stop()
+
+
+def test_audio_recorder_verb(tmp_path, monkeypatch):
+    import os
+    monkeypatch.chdir(tmp_path)
+    p, ctl = _proc()
+    assert "Not recording" in p.process("recordstatus")
+    assert "Setting audio recording to 1" in p.process("setaudiorecorder 1")
+    assert "Recording" in p.process("recordstatus")
+    assert "Setting audio recording to 0" in p.process("setaudiorecorder 0")
+    assert ctl._recorder.path is not None
+    assert os.path.exists(ctl._recorder.path)

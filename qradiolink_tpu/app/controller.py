@@ -143,7 +143,45 @@ class RadioController:
             return ("codec2", 3200)
         return ("opus",)
 
+    def _m17_decoder(self):
+        if not hasattr(self, "_m17_dec"):
+            from qradiolink_tpu.protocols.m17 import FrameDecoder
+            self._m17_dec = FrameDecoder()
+        return self._m17_dec
+
     def _dispatch_frame(self, ftype, payload, t) -> RxEvent:
+        if ftype in (FrameType.M17_LSF, FrameType.M17_STREAM,
+                     FrameType.M17_EOT):
+            # M17 decode dispatch (reference gr_modem M17 branch +
+            # radiocontroller M17 codec2-3200 path)
+            dec = self._m17_decoder()
+            if ftype == FrameType.M17_EOT:
+                return RxEvent("receive_end", sample_time=t)
+            fbits = np.unpackbits(np.frombuffer(payload, np.uint8))
+            if ftype == FrameType.M17_LSF:
+                lsf = dec.decode_lsf(fbits)
+                if lsf is not None:
+                    self._m17_cs_sent = True
+                    return RxEvent("callsign", text=lsf.source,
+                                   sample_time=t)
+                return RxEvent("frame", frame_type=int(ftype),
+                               payload=bytes(payload), sample_time=t)
+            sf = dec.decode_stream(fbits)
+            if dec.lsf_valid and not getattr(self, "_m17_cs_sent", False):
+                # late entry: LSF reassembled from LICH chunks
+                self._m17_cs_sent = True
+                self._pending_callsign = dec.lsf.source
+            if self._codec is not None:
+                # two codec2-3200 frames per M17 payload
+                pcm = self._codec.decode_codec2(sf.payload, 3200)
+                audio = pcm.astype(np.float32) / 32767.0 \
+                    * self.settings.rx_volume
+                rec = getattr(self, "_recorder", None)
+                if rec is not None and rec.recording:
+                    rec.write(audio)
+                return RxEvent("audio", audio=audio, sample_time=t)
+            return RxEvent("frame", frame_type=int(ftype),
+                           payload=sf.payload, sample_time=t)
         if ftype == FrameType.IP:
             pump = getattr(self, "_net_pump", None)
             delivered = pump.push_rx(bytes(payload)) if pump else False
@@ -202,6 +240,11 @@ class RadioController:
             got_data = False
             for ftype, payload in frames:
                 ev = self._dispatch_frame(ftype, payload, t)
+                pc = getattr(self, "_pending_callsign", None)
+                if pc is not None:
+                    events.append(RxEvent("callsign", text=pc,
+                                          sample_time=t))
+                    self._pending_callsign = None
                 events.append(ev)
                 got_data = ev.kind != "receive_end"
                 if ev.kind == "receive_end":
@@ -221,8 +264,38 @@ class RadioController:
                         self._deframer.reset()
         elif "audio" in out:
             audio = np.asarray(out["audio"]) * self.settings.rx_volume
+            rec = getattr(self, "_recorder", None)
+            if rec is not None and rec.recording:
+                rec.write(audio)
             events.append(RxEvent("audio", audio=audio, sample_time=t))
+        elif "passband" in out:
+            # FreeDV: the chain carries the 8 kHz modem passband; the
+            # vocoder-modem runs on host (chains/freedv.py FreeDvRx)
+            if not hasattr(self, "_freedv_rx"):
+                from qradiolink_tpu.audio.freedv import (
+                    FreeDV, freedv_available)
+                self._freedv_rx = FreeDV(
+                    self._freedv_variant(self._rx_mode)) \
+                    if freedv_available() else None
+            if self._freedv_rx is not None:
+                pb = np.asarray(out["passband"])
+                pcm = self._freedv_rx.rx(
+                    np.clip(pb * 32768.0, -32767, 32767).astype(np.int16))
+                if pcm.size:
+                    audio = pcm.astype(np.float32) / 32768.0 * 2.0 \
+                        * self.settings.rx_volume
+                    events.append(RxEvent("audio", audio=audio,
+                                          sample_time=t))
         return events
+
+    @staticmethod
+    def _freedv_variant(mode: str) -> str:
+        """FreeDV1600USB -> '1600' etc."""
+        m = (mode or "")[6:]
+        for sb in ("USB", "LSB"):
+            if m.endswith(sb):
+                return m[:-3]
+        return "1600"
 
     def run_rx(self, iq_blocks: Iterable) -> Iterable[RxEvent]:
         """Stream loop: the reference's RadioController::run RX half."""

@@ -145,11 +145,12 @@ class Deframer:
         # M17 syncs are hunted with a Hamming-distance tolerance (the
         # M17 spec's correlator accepts imperfect sync words; the
         # reference's bit-serial findSync is exact, gr_modem.cpp:1190,
-        # but its M17 library correlates at symbol level) — tolerance 2
-        # on a 16-bit word keeps the false-hit rate ~0.2%/offset while
-        # surviving 10 dB channels. Other modes stay exact-match.
+        # but its M17 library correlates at symbol level). Tolerance 1
+        # on a 16-bit word: false-hit rate 0.026%/offset (tolerance 2
+        # misclassified stream data as LSF syncs); syncs that arrive
+        # with more errors are recovered by LICH late entry instead.
         if sync_tolerance is None:
-            sync_tolerance = 2 if self.cfg.m17_mode else 0
+            sync_tolerance = 1 if self.cfg.m17_mode else 0
         self.sync_tolerance = int(sync_tolerance)
         if self.cfg.m17_mode:
             # reference gr_modem::findSync M17 branch (gr_modem.cpp:1187-1210)

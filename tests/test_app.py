@@ -311,3 +311,70 @@ def test_profiling_helpers():
     assert stats["step_ms"] > 0 and stats["samples_per_s"] > 0
     with annotate("test-region"):
         f(x)
+
+
+def test_controller_m17_rx_dispatch():
+    """M17 through the controller: audio events + source callsign
+    (reference radiocontroller M17 decode path)."""
+    import pytest
+    from qradiolink_tpu.audio.codecs import codec2_available
+    if not codec2_available():
+        pytest.skip("codec2 missing")
+    import jax.numpy as jnp
+    from qradiolink_tpu.protocols.m17 import LinkSetupFrame, FrameEncoder
+    from qradiolink_tpu.chains.m17 import M17Mod
+
+    lsf = LinkSetupFrame.for_stream("SP5WWP", "AB1CDE")
+    enc = FrameEncoder(lsf)
+    frames = [enc.encode_preamble(), enc.encode_lsf()]
+    payload = bytes(range(16))
+    for i in range(8):
+        frames.append(enc.encode_stream(payload, last=(i == 7)))
+    bits = np.concatenate(frames + [np.zeros(2000, np.uint8)])
+    bits = np.concatenate([bits, np.zeros((-len(bits)) % 48, np.uint8)])
+    m = M17Mod()
+    _, tx = m(m.init_state(), jnp.asarray(bits))
+    iq = np.asarray(tx["iq"])
+
+    s = Settings()
+    s.rx_mode = "M17"
+    ctl = RadioController(s)
+    ctl.toggle_rx_mode("M17")
+    blk = 50_000
+    n = len(iq) - len(iq) % blk
+    events = []
+    for i in range(0, n, blk):
+        events.extend(ctl.rx_block(iq[i:i + blk]))
+    kinds = [e.kind for e in events]
+    assert "audio" in kinds, kinds
+    cs = [e.text for e in events if e.kind == "callsign"]
+    assert "SP5WWP" in cs
+
+
+def test_controller_freedv_rx_dispatch():
+    """FreeDV through the controller: full audio out of rx_block."""
+    import pytest
+    from qradiolink_tpu.audio.freedv import freedv_available
+    if not freedv_available():
+        pytest.skip("freedv missing")
+    from qradiolink_tpu.chains.freedv import FreeDvTx
+
+    tx = FreeDvTx("1600", usb=True)
+    t = np.arange(8000 * 2) / 8000.0
+    speech = (0.4 * np.sin(2 * np.pi * 300 * t)
+              * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t) ** 2)
+              ).astype(np.float32)
+    iq = tx.process(speech)
+    s = Settings()
+    s.rx_mode = "FreeDV1600USB"
+    ctl = RadioController(s)
+    ctl.toggle_rx_mode("FreeDV1600USB")
+    blk = 125_000
+    n = len(iq) - len(iq) % blk
+    audio = []
+    for i in range(0, n, blk):
+        for ev in ctl.rx_block(iq[i:i + blk]):
+            if ev.kind == "audio":
+                audio.append(ev.audio)
+    got = np.concatenate(audio) if audio else np.zeros(0)
+    assert got.size > 4000, "no FreeDV audio decoded via controller"

@@ -113,6 +113,107 @@ class RadioController:
             self._rotator = None
             self._rot_state = None
 
+    def _dmr_stack(self):
+        """Lazy DMR call stack (DmrControl + stream glue) — the
+        reference's gr_modem DMR members (gr_modem.h:174-179)."""
+        if not hasattr(self, "_dmr_ctl"):
+            from qradiolink_tpu.protocols.dmr_control import (
+                DmrConfig, DmrControl)
+            from qradiolink_tpu.protocols.dmr_stream import (
+                DmrRxStream, DmrTxStream)
+            cfg = DmrConfig()
+            self._dmr_ctl = DmrControl(cfg)
+            self._dmr_rx = DmrRxStream(self._dmr_ctl)
+            self._dmr_tx = DmrTxStream(self._dmr_ctl)
+            self._dmr_events = []
+            ctl = self._dmr_ctl
+            ev = self._dmr_events
+            ctl.on_digital_audio = lambda b: ev.append(("voice", b))
+            ctl.on_header = lambda h: ev.append(("header", h))
+            ctl.on_terminator = lambda x: ev.append(("terminator", x))
+            ctl.on_talker_alias = lambda a: ev.append(("alias", a))
+            ctl.on_data_message = lambda m: ev.append(("data", m))
+        return self._dmr_ctl
+
+    def _dmr_rx_dispatch(self, bits, t) -> list:
+        """DMR bits -> call-layer events -> RxEvents (the reference's
+        DMRControl::addFrames + digitalAudio/headerReceived fanout)."""
+        self._dmr_stack()
+        self._dmr_rx.push_bits(np.asarray(bits).ravel())
+        events = []
+        for kind, val in self._dmr_events:
+            if kind == "voice":
+                pcm = None
+                if self._codec is not None:
+                    # Codec2 voice uses a whole number of 8-byte 3200
+                    # frames; AMBE payloads (vocoder plugin territory)
+                    # fall through as raw frames like the reference
+                    # without a plugin
+                    n = (len(val) // 8) * 8
+                    try:
+                        pcm = self._codec.decode_dmr(val[:n]) if n else None
+                    except Exception:
+                        pcm = None
+                if pcm is not None and pcm.size:
+                    audio = pcm.astype(np.float32) / 32767.0 \
+                        * self.settings.rx_volume
+                    events.append(RxEvent("audio", audio=audio,
+                                          sample_time=t))
+                else:
+                    events.append(RxEvent("frame", frame_type=-1,
+                                          payload=val, sample_time=t))
+            elif kind == "header":
+                events.append(RxEvent("callsign", text=str(val.src_id),
+                                      sample_time=t))
+            elif kind == "terminator":
+                events.append(RxEvent("receive_end",
+                                      text=str(val.src_id),
+                                      sample_time=t))
+            elif kind == "alias":
+                events.append(RxEvent("text", text=val, sample_time=t))
+            elif kind == "data":
+                events.append(RxEvent("frame", frame_type=-2,
+                                      payload=val.payload, sample_time=t))
+        self._dmr_events.clear()
+        return events
+
+    def tx_dmr_audio_block(self, pcm: np.ndarray):
+        """DMR voice TX: 8 kHz PCM -> slot-aligned burst IQ (or None
+        while buffering). Encodes via the DMR vocoder path, queues
+        through DmrControl's superframe machine, and schedules bursts
+        on the TDMA grid (reference txAudio DMR branch +
+        gr_modem::transmitDMR)."""
+        if self._codec is None:
+            raise RuntimeError("DMR voice TX needs a codec")
+        ctl = self._dmr_stack()
+        from qradiolink_tpu.protocols.dmr_control import TX_IDLE
+        if ctl.tx_state == TX_IDLE:
+            ctl.start_transmission()
+            self._dmr_tx.send_bursts(ctl._voice_header_bursts())
+        pcm16 = np.clip(np.asarray(pcm) * 32767.0, -32767,
+                        32767).astype(np.int16)
+        for i in range(0, (pcm16.size // 320) * 320, 320):
+            frame = pcm16[i:i + 320]
+            for half in (frame[:160], frame[160:]):
+                enc = self._codec.encode_dmr(half)
+                ctl.add_tx_audio(enc[:9].ljust(9, b"\x00")
+                                 if isinstance(enc, bytes)
+                                 else bytes(enc)[:9].ljust(9, b"\x00"))
+        bursts = ctl.get_tx_bursts()
+        if not bursts:
+            return None
+        self._dmr_tx.send_bursts(bursts)
+        if not self._dmr_tx.pending():
+            return None
+        n = (self._dmr_tx._queue[-1][0] + 1440 + 719) // 720 * 720 \
+            - self._dmr_tx._abs_sample
+        bits, mask = self._dmr_tx.next_block(max(n, 720))
+        if self._tx is None or self._tx_mode != "DMR":
+            self.toggle_tx_mode("DMR")
+        self._tx_state, out = self._tx(
+            self._tx_state, jnp.asarray(bits), mask=jnp.asarray(mask))
+        return np.asarray(out["iq"]) * self.settings.bb_gain
+
     def attach_recorder(self, recorder):
         """RX audio events also append to an audio.recorder.AudioRecorder
         when it is recording (reference AudioWriter record hooks)."""
@@ -235,7 +336,9 @@ class RadioController:
             rssi = float(np.mean(np.asarray(out["rssi"]))) \
                 + self.settings.rssi_calibration_value + 80.0
             events.append(RxEvent("rssi", rssi=rssi, sample_time=t))
-        if self._deframer is not None and "bits" in out:
+        if self._rx_mode == "DMR" and "bits" in out:
+            events.extend(self._dmr_rx_dispatch(out["bits"], t))
+        elif self._deframer is not None and "bits" in out:
             frames = self._deframer.process(np.asarray(out["bits"]).ravel())
             got_data = False
             for ftype, payload in frames:

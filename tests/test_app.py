@@ -378,3 +378,61 @@ def test_controller_freedv_rx_dispatch():
                 audio.append(ev.audio)
     got = np.concatenate(audio) if audio else np.zeros(0)
     assert got.size > 4000, "no FreeDV audio decoded via controller"
+
+
+def test_controller_dmr_rx_and_tx():
+    """DMR through the controller: BS voice stream -> audio/callsign/
+    receive_end events; DMR voice TX produces slot-gated burst IQ."""
+    import pytest
+    from qradiolink_tpu.audio.codecs import codec2_available
+    if not codec2_available():
+        pytest.skip("codec2 missing")
+    import jax.numpy as jnp
+    from qradiolink_tpu.fec import ambe
+    from qradiolink_tpu.protocols import dmr as dmrp
+    from qradiolink_tpu.protocols.dmr import (
+        LinkControl, make_voice_superframe, make_lc_burst)
+    from qradiolink_tpu.protocols.dmr_stream import build_bs_stream
+    from qradiolink_tpu.chains.dmr import DmrMod
+
+    rng = np.random.default_rng(2)
+    lc = LinkControl(flco=dmrp.FLCO_GROUP, src_id=44556, dst_id=9)
+    payloads = rng.integers(0, 2, (6, 3, 49)).astype(np.uint8)
+    voice = ambe.voice_encode(payloads)
+    slot2 = ([make_lc_burst(lc, 1, dmrp.DT_VOICE_LC_HEADER)]
+             + list(make_voice_superframe(voice, lc, 1))
+             + [make_lc_burst(lc, 1, dmrp.DT_TERMINATOR_WITH_LC)])
+    idle = dmrp.make_data_burst(np.zeros(196, np.uint8), 1, dmrp.DT_IDLE)
+    bits = build_bs_stream([idle] * (len(slot2) + 2), slot2, lead_idle=4)
+    mod = DmrMod()
+    _, tx = mod(mod.init_state(), jnp.asarray(bits))
+    iq = np.asarray(tx["iq"])
+
+    s = Settings()
+    s.rx_mode = s.tx_mode = "DMR"
+    ctl = RadioController(s)
+    ctl.toggle_rx_mode("DMR")
+    ctl._dmr_stack().config.timeslot = 2
+    blk = 125_000
+    n = len(iq) - len(iq) % blk
+    events = []
+    for i in range(0, n, blk):
+        events.extend(ctl.rx_block(iq[i:i + blk]))
+    kinds = [e.kind for e in events]
+    assert "audio" in kinds, kinds
+    assert "receive_end" in kinds
+    # the call's source id arrives via header (direct) or the
+    # terminator/late-entry snapshot (header may be lost in acquisition)
+    ids = [e.text for e in events
+           if e.kind in ("callsign", "receive_end") and e.text]
+    assert "44556" in ids
+
+    # TX: one second of tone -> burst IQ with TDMA gating (zero gaps)
+    t = np.arange(8000) / 8000.0
+    pcm = (0.3 * np.sin(2 * np.pi * 400 * t)).astype(np.float32)
+    out = ctl.tx_dmr_audio_block(pcm)
+    assert out is not None and out.size > 0
+    env = np.abs(out)
+    assert env.max() > 0.05
+    # gated: a meaningful fraction of the stream is idle (masked off)
+    assert np.mean(env < env.max() * 0.01) > 0.2

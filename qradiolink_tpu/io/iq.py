@@ -24,15 +24,33 @@ import numpy as np
 _FORMATS = ("cf32", "cs16", "cu8")
 
 
+def _native():
+    """The C++ host-IO engine (io/native.py) when buildable, else None
+    — conversions fall back to the numpy forms below."""
+    try:
+        from qradiolink_tpu.io import native
+        return native if native.native_available() else None
+    except Exception:   # pragma: no cover
+        return None
+
+
 def _decode(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "cf32":
         x = np.frombuffer(buf, np.float32)
         return x[0::2] + 1j * x[1::2]
+    nat = _native()
     if fmt == "cs16":
-        x = np.frombuffer(buf, np.int16).astype(np.float32) / 32767.0
+        if nat is not None:
+            x = nat.cs16_to_f32(np.frombuffer(buf, np.int16))
+        else:
+            x = np.frombuffer(buf, np.int16).astype(np.float32) / 32767.0
         return x[0::2] + 1j * x[1::2]
     if fmt == "cu8":
-        x = (np.frombuffer(buf, np.uint8).astype(np.float32) - 127.5) / 127.5
+        if nat is not None:
+            x = nat.cu8_to_f32(np.frombuffer(buf, np.uint8))
+        else:
+            x = (np.frombuffer(buf, np.uint8).astype(np.float32)
+                 - 127.5) / 127.5
         return x[0::2] + 1j * x[1::2]
     raise ValueError(f"unknown IQ format {fmt!r}; expected {_FORMATS}")
 
@@ -43,10 +61,15 @@ def _encode(x: np.ndarray, fmt: str) -> bytes:
     inter[1::2] = x.imag
     if fmt == "cf32":
         return inter.tobytes()
+    nat = _native()
     if fmt == "cs16":
+        if nat is not None:
+            return nat.f32_to_cs16(inter).tobytes()
         q = np.round(np.clip(inter * 32767.0, -32767, 32767))
         return q.astype(np.int16).tobytes()
     if fmt == "cu8":
+        if nat is not None:
+            return nat.f32_to_cu8(inter).tobytes()
         q = np.round(np.clip(inter * 127.5 + 127.5, 0, 255))
         return q.astype(np.uint8).tobytes()
     raise ValueError(f"unknown IQ format {fmt!r}; expected {_FORMATS}")

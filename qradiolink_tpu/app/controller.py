@@ -177,6 +177,48 @@ class RadioController:
         self._dmr_events.clear()
         return events
 
+    def tx_m17_audio_block(self, pcm: np.ndarray, last: bool = False):
+        """M17 voice TX: 8 kHz PCM -> M17 stream frames -> IQ (the
+        reference's M17Transmitter path: codec2-3200 two frames per
+        payload, gr_modem.cpp startTransmission/transmitDigitalAudio
+        M17 branches). The first call emits preamble + LSF; pass
+        last=True on the final block to set EOS."""
+        if self._codec is None:
+            raise RuntimeError("M17 voice TX needs codec2")
+        from qradiolink_tpu.protocols.m17 import (
+            FrameEncoder, LinkSetupFrame)
+        if not hasattr(self, "_m17_enc") or self._m17_enc is None:
+            lsf = LinkSetupFrame.for_stream(
+                self.settings.callsign, "@ALL")
+            self._m17_enc = FrameEncoder(lsf)
+            self._m17_started = False
+        enc = self._m17_enc
+        frames = []
+        if not self._m17_started:
+            self._m17_started = True
+            frames.append(enc.encode_preamble())
+            frames.append(enc.encode_lsf())
+        pcm16 = np.clip(np.asarray(pcm) * 32767.0, -32767,
+                        32767).astype(np.int16)
+        n320 = (pcm16.size // 320) * 320
+        chunks = [pcm16[i:i + 320] for i in range(0, n320, 320)]
+        for idx, frame in enumerate(chunks):
+            p = (self._codec.encode_codec2(frame[:160], 3200)
+                 + self._codec.encode_codec2(frame[160:], 3200))
+            frames.append(enc.encode_stream(
+                p, last=last and idx == len(chunks) - 1))
+        if last:
+            self._m17_enc = None
+        if not frames:
+            return None
+        bits = np.concatenate(frames)
+        bits = np.concatenate([bits, np.zeros((-len(bits)) % 48,
+                                              np.uint8)])
+        if self._tx is None or self._tx_mode != "M17":
+            self.toggle_tx_mode("M17")
+        self._tx_state, out = self._tx(self._tx_state, jnp.asarray(bits))
+        return np.asarray(out["iq"]) * self.settings.bb_gain
+
     def tx_dmr_audio_block(self, pcm: np.ndarray):
         """DMR voice TX: 8 kHz PCM -> slot-aligned burst IQ (or None
         while buffering). Encodes via the DMR vocoder path, queues

@@ -436,3 +436,38 @@ def test_controller_dmr_rx_and_tx():
     assert env.max() > 0.05
     # gated: a meaningful fraction of the stream is idle (masked off)
     assert np.mean(env < env.max() * 0.01) > 0.2
+
+
+def test_controller_m17_full_duplex_voice():
+    """M17 voice TX through the controller, decoded back by the
+    controller RX dispatch — the full digital-voice path."""
+    import pytest
+    from qradiolink_tpu.audio.codecs import codec2_available
+    if not codec2_available():
+        pytest.skip("codec2 missing")
+    s = Settings()
+    s.rx_mode = s.tx_mode = "M17"
+    s.callsign = "N0TPU"
+    tx = RadioController(s)
+    t = np.arange(8000 * 2) / 8000.0
+    speech = (0.4 * np.sin(2 * np.pi * 250 * t)
+              * (0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t) ** 2)
+              ).astype(np.float32)
+    iq1 = tx.tx_m17_audio_block(speech[:8000])
+    iq2 = tx.tx_m17_audio_block(speech[8000:], last=True)
+    iq = np.concatenate([iq1, iq2, np.zeros(60_000, np.complex64)])
+
+    rx = RadioController(s)
+    rx.toggle_rx_mode("M17")
+    blk = 50_000
+    n = len(iq) - len(iq) % blk
+    audio, cs = [], []
+    for i in range(0, n, blk):
+        for ev in rx.rx_block(iq[i:i + blk]):
+            if ev.kind == "audio":
+                audio.append(ev.audio)
+            elif ev.kind == "callsign":
+                cs.append(ev.text)
+    got = np.concatenate(audio) if audio else np.zeros(0)
+    assert got.size > 8000, "too little M17 audio decoded"
+    assert any("N0TPU" in c for c in cs), cs

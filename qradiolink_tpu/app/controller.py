@@ -352,6 +352,16 @@ class RadioController:
                 return RxEvent("audio", audio=audio, sample_time=t)
             return RxEvent("frame", frame_type=int(ftype),
                            payload=bytes(payload), sample_time=t)
+        if ftype == FrameType.VIDEO:
+            # video dispatch (reference receiveVideoData -> JPEG decode
+            # -> videoImage, radiocontroller.cpp:1625-1665)
+            if not hasattr(self, "_video_dec"):
+                from qradiolink_tpu.video import VideoEncoder
+                self._video_dec = VideoEncoder()
+            img = self._video_dec.decode(bytes(payload))
+            ev = RxEvent("video", payload=bytes(payload), sample_time=t)
+            ev.image = img
+            return ev
         if ftype == FrameType.TEXT:
             txt = bytes(payload).rstrip(b"\x00").decode("utf-8", "replace")
             return RxEvent("text", text=txt, sample_time=t)
@@ -566,6 +576,21 @@ class RadioController:
             data += self._framer.frame(raw[i:i + cfg.frame_length],
                                        FrameType.TEXT)
         data += self._framer.end_frame()
+        self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
+            np.frombuffer(data, np.uint8)))
+        return np.asarray(out["iq"]) * self.settings.bb_gain
+
+    def tx_video_frame(self, rgb) -> np.ndarray:
+        """One camera frame -> QPSKVideo IQ (reference
+        processVideoFrame: JPEG encode to the 3122-byte budget ->
+        FrameTypeVideo)."""
+        if not hasattr(self, "_video_enc"):
+            from qradiolink_tpu.video import VideoEncoder
+            self._video_enc = VideoEncoder()
+        frame = self._video_enc.encode(np.asarray(rgb))
+        if self._tx is None or self._tx_mode != "QPSKVideo":
+            self.toggle_tx_mode("QPSKVideo")
+        data = self._framer.frame(frame, FrameType.VIDEO)
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
             np.frombuffer(data, np.uint8)))
         return np.asarray(out["iq"]) * self.settings.bb_gain

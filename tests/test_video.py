@@ -61,3 +61,35 @@ def test_video_over_qpsk_loopback():
     assert got is not None
     err = np.mean(np.abs(got.astype(int) - img.astype(int)))
     assert err < 25, f"image over RF MAE {err}"
+
+
+def test_controller_video_tx_rx():
+    """Video through the controller: tx_video_frame -> RF -> rx_block
+    video events with the decoded image."""
+    from qradiolink_tpu.app.controller import RadioController
+    from qradiolink_tpu.config import Settings
+    from qradiolink_tpu.chains.channel import ChannelModel
+
+    img = _test_image()
+    s = Settings()
+    s.rx_mode = s.tx_mode = "QPSKVideo"
+    tx = RadioController(s)
+    tx.toggle_tx_mode("QPSKVideo")
+    iq = np.concatenate([
+        tx.tx_bytes(b"\xaa" * 2000),
+        tx.tx_video_frame(img),
+        tx.tx_bytes(b"\xaa" * 1500),
+    ])
+    iq = np.asarray(ChannelModel(1_000_000, snr_db=20.0, seed=9)(
+        jnp.asarray(iq)))
+    rx = RadioController(s)
+    rx.toggle_rx_mode("QPSKVideo")
+    blk = 50_000
+    vids = []
+    for i in range(0, len(iq) - len(iq) % blk, blk):
+        for ev in rx.rx_block(iq[i:i + blk]):
+            if ev.kind == "video" and getattr(ev, "image", None) is not None:
+                vids.append(ev.image)
+    assert vids, "no video frame decoded via controller"
+    err = np.mean(np.abs(vids[0].astype(int) - img.astype(int)))
+    assert err < 25, f"controller video MAE {err}"

@@ -284,3 +284,88 @@ def test_zmq_udp_proxy(tmp_path):
     proxy.close(); pull.close(0); rep.close(0)
     udp_rx.close(); tx_sock.close()
     t.join(timeout=2)
+
+
+def test_mmdvm_full_transport_loop(tmp_path):
+    """The complete MMDVM integration: RF -> MmdvmDemod -> RxPublisher
+    -> (fake MMDVMHost echoes baseband) -> TxPoller -> MmdvmMod -> RF,
+    with the echoed audio surviving both FM hops."""
+    import threading
+    import numpy as np
+    import jax.numpy as jnp
+    import zmq
+    from qradiolink_tpu.chains.mmdvm import MmdvmDemod, MmdvmMod, TARGET_RATE
+    from qradiolink_tpu.io.mmdvm_transport import (
+        MmdvmRxPublisher, MmdvmTxPoller, pack_tx_message,
+        unpack_rx_message, SAMPLES_PER_SLOT)
+
+    rx_path = f"ipc://{tmp_path}/rx1.ipc"
+    tx_path = f"ipc://{tmp_path}/tx1.ipc"
+    ctx = zmq.Context.instance()
+    pull = ctx.socket(zmq.PULL)
+    pull.setsockopt(zmq.RCVTIMEO, 3000)
+    rep = ctx.socket(zmq.REP)
+    rep.bind(tx_path)
+    echoed = []
+
+    def mmdvmhost():
+        # pull RX slots, echo the first 4 back on the TX REQ/REP side
+        slots = []
+        for _ in range(4):
+            samples, ctrl, rssi = unpack_rx_message(pull.recv())
+            slots.append(samples)
+        echoed.extend(slots)
+        served = 0
+        while served < len(slots):
+            rep.recv()
+            rep.send(pack_tx_message(slots[served],
+                                     np.zeros(SAMPLES_PER_SLOT, np.uint8)))
+            served += 1
+
+    # RF in: a 1 kHz tone on the MMDVM carrier
+    n24 = SAMPLES_PER_SLOT * 8
+    t = np.arange(n24 * 125 // 12) / 250_000
+    iq_in = (0.12 * np.exp(2j * np.pi * 0.0 * t)).astype(np.complex64)
+    audio_t = np.arange(n24) / TARGET_RATE
+    mod0 = MmdvmMod()
+    _, m0 = mod0(mod0.init_state(), jnp.asarray(
+        (0.15 * np.sin(2 * np.pi * 1000.0 * audio_t)).astype(np.float32)))
+    iq_in = np.asarray(m0["iq"])
+
+    dem = MmdvmDemod()
+    m = len(iq_in) - len(iq_in) % 125
+    _, out = dem(dem.init_state(), jnp.asarray(iq_in[:m]))
+    audio = np.asarray(out["audio"])
+    rssi_slots = np.asarray(out["rssi_slots"])
+
+    pub = MmdvmRxPublisher(1, path_tpl=rx_path.replace("rx1", "rx{}"))
+    pull.connect(rx_path)
+    th = threading.Thread(target=mmdvmhost, daemon=True)
+    th.start()
+    pub.push_samples(0, audio, rssi=-(rssi_slots.astype(int)))
+
+    poller = MmdvmTxPoller(1, path_tpl=tx_path.replace("tx1", "tx{}"),
+                           timeout_ms=3000)
+    tx_samples = []
+    for _ in range(4):
+        got = poller.poll(0)
+        assert got is not None
+        tx_samples.append(got[0])
+    th.join(timeout=5)
+    baseband = np.concatenate(tx_samples).astype(np.float32) / 32767.0
+    mod = MmdvmMod()
+    _, txo = mod(mod.init_state(), jnp.asarray(baseband))
+    iq_out = np.asarray(txo["iq"])
+    # the echoed tone survives the full loop: demod the re-modulated RF
+    dem2 = MmdvmDemod()
+    m2 = len(iq_out) - len(iq_out) % 125
+    _, out2 = dem2(dem2.init_state(), jnp.asarray(iq_out[:m2]))
+    rec = np.asarray(out2["audio"])[1000:]
+    x = rec - rec.mean()
+    sp = np.abs(np.fft.rfft(x * np.hanning(x.size))) ** 2
+    f = np.fft.rfftfreq(x.size, 1 / TARGET_RATE)
+    sig = sp[np.abs(f - 1000.0) < 150].sum()
+    noise = sp[(np.abs(f - 1000.0) >= 150) & (f > 50) & (f < 4000)].sum()
+    snr = 10 * np.log10(sig / (noise + 1e-12))
+    assert snr > 20.0, f"full-loop tone SNR {snr:.1f} dB"
+    pub.close(); poller.close(); pull.close(0); rep.close(0)

@@ -114,7 +114,8 @@ class Fsk4Demod(Block):
         soft = jnp.stack([jnp.sin(ph), jnp.cos(ph)], axis=-1)
         soft = soft.reshape(*syms.shape[:-1], syms.shape[-1] * 2)
         soft = jnp.clip(soft * 128.0 + 128.0, 0.0, 255.0)
-        const_tap = jnp.exp(1j * ph).astype(jnp.complex64)
+        from qradiolink_tpu.core import IqPair
+        const_tap = IqPair(jnp.cos(ph), jnp.sin(ph))  # complex-free tap
         bits = seq(self.fec_tail, soft)
         return seq.states(), {"bits": bits, "constellation": const_tap,
                               "rssi": rssi, "symbols": syms}
@@ -182,7 +183,8 @@ class Fsk4DemodFF(Block):
         soft = jnp.stack([jnp.sin(ph), jnp.cos(ph)], axis=-1)
         soft = soft.reshape(*syms.shape[:-1], syms.shape[-1] * 2)
         soft = jnp.clip(soft * 128.0 + 128.0, 0.0, 255.0)
-        const_tap = jnp.exp(1j * ph).astype(jnp.complex64)
+        from qradiolink_tpu.core import IqPair
+        const_tap = IqPair(jnp.cos(ph), jnp.sin(ph))  # complex-free tap
         bits = seq(self.fec_tail, soft)
         return seq.states(), {"bits": bits, "constellation": const_tap,
                               "rssi": rssi, "symbols": syms}

@@ -24,7 +24,7 @@ leading axes, so `jax.vmap` over channels is mechanical.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Sequence
+from typing import Any, Callable, Iterable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -165,6 +165,51 @@ def device_init_state(block: Block) -> State:
     way rather than by calling init_state() eagerly.
     """
     return jax.jit(block.init_state)()
+
+
+class IqPair(NamedTuple):
+    """Complex IQ carried as two float32 planes.
+
+    On the axon TPU backend every op touching complex64 arrays pays a
+    multi-millisecond representation-shim cost (X64SplitHigh/Low
+    custom-calls; measured ~3 ms just for .real on a 128x200k block).
+    High-rate chain heads therefore accept IqPair — the decimating
+    front-end (ops/pallas_fir.py) consumes the planes directly and the
+    chain recombines to complex64 only after decimation, where arrays
+    are ~50x smaller. A plain NamedTuple, so it is a pytree and shards
+    like its leaves.
+    """
+    re: Array
+    im: Array
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    def to_complex(self) -> Array:
+        return jax.lax.complex(self.re, self.im)
+
+
+def put_iq_pair(x) -> IqPair:
+    """Transfer complex IQ to the device as an IqPair (two f32 planes).
+
+    The zero-copy-friendly input form for the 1 Msps chain heads; see
+    IqPair. Accepts numpy complex or a (re, im) tuple."""
+    import numpy as np
+
+    if isinstance(x, IqPair):
+        return x
+    if isinstance(x, tuple) and len(x) == 2:
+        return IqPair(jnp.asarray(x[0], jnp.float32),
+                      jnp.asarray(x[1], jnp.float32))
+    x = np.asarray(x)
+    r = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    i = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return IqPair(r, i)
 
 
 def put_iq(x) -> Array:

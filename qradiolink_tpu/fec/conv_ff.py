@@ -127,6 +127,16 @@ def viterbi_decode_tiled(code: ConvCode, soft: jax.Array,
     C = T // L
     steps = W + L + W
 
+    # single-launch Pallas path (bit-identical; see fec/viterbi_pallas.py)
+    from qradiolink_tpu.fec import viterbi_pallas
+    if viterbi_pallas.available():
+        R = int(np.prod(lead, dtype=np.int64)) * C if lead else C
+        wr = win.reshape((R, steps, code.n))
+        bits_k = viterbi_pallas.decode_windows(code, wr, W)
+        if bits_k is not None:
+            bits = bits_k.reshape(lead + (C, steps))[..., W: W + L]
+            return bits.reshape(lead + (T,)).astype(jnp.uint8)
+
     pm = jnp.zeros(lead + (C, ns), jnp.float32)
     decs = []
     for t in range(steps):

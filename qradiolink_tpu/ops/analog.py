@@ -10,6 +10,7 @@ DC-block IIR in AM: reference src/gr/gr_demod_am.cpp:30-83).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from qradiolink_tpu.core import Block, Stateless
@@ -17,27 +18,48 @@ from qradiolink_tpu.ops.iir import FirstOrderIir
 
 
 class QuadratureDemod(Block):
-    """y[n] = gain * arg(x[n] * conj(x[n-1])). State: previous sample."""
+    """y[n] = gain * arg(x[n] * conj(x[n-1])). State: previous sample,
+    stored as f32 (re, im) planes (complex64 ops are pathologically slow
+    on the axon TPU; see core.IqPair). Accepts complex or IqPair input —
+    the IqPair path is entirely real arithmetic."""
 
     def __init__(self, gain: float, lead_shape: tuple = ()):
         self.gain = float(gain)
         self.lead_shape = tuple(lead_shape)
 
     def init_state(self):
-        return jnp.ones(self.lead_shape + (1,), dtype=jnp.complex64)
+        re = jnp.ones(self.lead_shape + (1,), jnp.float32)
+        im = jnp.zeros(self.lead_shape + (1,), jnp.float32)
+        return jnp.stack([re, im], axis=-2)
 
-    def __call__(self, state, x):
-        xc = jnp.concatenate([state, x], axis=-1)
-        d = xc[..., 1:] * jnp.conj(xc[..., :-1])
+    @staticmethod
+    def _angle(p, q, gain):
         # guard squelched (exact zero) samples: arctan2(0, -0.0) == pi.
         # Double-where so the zero branch also has a finite gradient
         # (jnp.where alone still propagates NaN cotangents from arctan2
         # at the origin).
-        nz = d.real * d.real + d.imag * d.imag > 0
-        d_safe = jnp.where(nz, d, jnp.complex64(1.0))
-        ang = jnp.arctan2(d_safe.imag, d_safe.real)
-        y = self.gain * jnp.where(nz, ang, 0.0)
-        return xc[..., -1:], y
+        nz = p * p + q * q > 0
+        ang = jnp.arctan2(jnp.where(nz, q, 0.0), jnp.where(nz, p, 1.0))
+        return gain * jnp.where(nz, ang, 0.0)
+
+    def __call__(self, state, x):
+        from qradiolink_tpu.core import IqPair
+        if isinstance(x, IqPair):
+            re = jnp.concatenate([state[..., 0, :], x.re], axis=-1)
+            im = jnp.concatenate([state[..., 1, :], x.im], axis=-1)
+            # d = x[n] * conj(x[n-1])
+            p = re[..., 1:] * re[..., :-1] + im[..., 1:] * im[..., :-1]
+            q = im[..., 1:] * re[..., :-1] - re[..., 1:] * im[..., :-1]
+            y = self._angle(p, q, self.gain)
+            new_state = jnp.stack([re[..., -1:], im[..., -1:]], axis=-2)
+            return new_state, y
+        prev = jax.lax.complex(state[..., 0, :], state[..., 1, :])
+        xc = jnp.concatenate([prev, x], axis=-1)
+        d = xc[..., 1:] * jnp.conj(xc[..., :-1])
+        y = self._angle(d.real, d.imag, self.gain)
+        last = xc[..., -1:]
+        new_state = jnp.stack([last.real, last.imag], axis=-2)
+        return new_state, y
 
 
 class FrequencyMod(Block):

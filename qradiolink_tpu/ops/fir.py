@@ -149,31 +149,45 @@ def _conv1d_real(x: jax.Array, taps_flipped: jax.Array, stride: int = 1) -> jax.
     return _conv1d_real_slices(x, taps_flipped, stride)
 
 
-def conv1d_valid(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
+def conv1d_valid(x: jax.Array, taps: jax.Array, stride: int = 1,
+                 out_len: int | None = None) -> jax.Array:
     """VALID FIR: y[m] = sum_k taps[k] * x[m*stride + K-1 - k].
 
     Handles any real/complex combination of x and taps via real convs.
+    out_len (optional) truncates the output to the first out_len samples
+    — callers that zero-pad x for the Pallas banded kernel (see
+    ops/pallas_fir.py) pass the true output count here so the padding
+    never leaks into results.
     """
     taps = jnp.asarray(taps)
+    if not isinstance(taps, jax.core.Tracer) and jax.default_backend() == "tpu":
+        from qradiolink_tpu.ops import pallas_fir
+        y = pallas_fir.banded_fir(x, taps, stride, out_len)
+        if y is not None:
+            return y
     tf = taps[::-1]
     cx = jnp.iscomplexobj(x)
     ct = jnp.iscomplexobj(taps)
     if not cx and not ct:
-        return _conv1d_real(x, tf, stride)
-    if cx and not ct:
+        y = _conv1d_real(x, tf, stride)
+    elif cx and not ct:
         yr = _conv1d_real(x.real, tf, stride)
         yi = _conv1d_real(x.imag, tf, stride)
-        return lax.complex(yr, yi)
-    if not cx and ct:
+        y = lax.complex(yr, yi)
+    elif not cx and ct:
         yr = _conv1d_real(x, tf.real, stride)
         yi = _conv1d_real(x, tf.imag, stride)
-        return lax.complex(yr, yi)
-    # complex * complex: 4 real convs
-    rr = _conv1d_real(x.real, tf.real, stride)
-    ii = _conv1d_real(x.imag, tf.imag, stride)
-    ri = _conv1d_real(x.real, tf.imag, stride)
-    ir = _conv1d_real(x.imag, tf.real, stride)
-    return lax.complex(rr - ii, ri + ir)
+        y = lax.complex(yr, yi)
+    else:
+        # complex * complex: 4 real convs
+        rr = _conv1d_real(x.real, tf.real, stride)
+        ii = _conv1d_real(x.imag, tf.imag, stride)
+        ri = _conv1d_real(x.real, tf.imag, stride)
+        ir = _conv1d_real(x.imag, tf.real, stride)
+        y = lax.complex(rr - ii, ri + ir)
+    if out_len is not None and y.shape[-1] != out_len:
+        y = y[..., :out_len]
+    return y
 
 
 def fir_filter(x: jax.Array, taps: jax.Array, decim: int = 1) -> jax.Array:
@@ -230,22 +244,101 @@ class FirFilter(Block):
         self.impl = impl
 
     def init_state(self):
-        dt = jnp.complex64  # tail stored complex; cast on use for real inputs
-        return jnp.zeros(self.lead_shape + (self.ntaps - 1,), dtype=dt)
+        # tail stored as f32 (re, im) planes: every complex64 op on the
+        # axon TPU pays a multi-ms representation shim (see core.IqPair),
+        # so the hot IqPair path must touch no complex dtype at all
+        return jnp.zeros(self.lead_shape + (2, self.ntaps - 1), jnp.float32)
+
+    def _call_pair(self, state, x):
+        """IqPair path: complex-free streaming FIR over f32 planes.
+
+        Uses the concat-free Pallas banded kernel when servable
+        (ops/pallas_fir.py banded_fir_stream); otherwise plane-wise jnp
+        convolutions. Output is an IqPair; chains recombine to complex64
+        only where a later stage genuinely needs the complex dtype.
+        """
+        from qradiolink_tpu.core import IqPair
+        from qradiolink_tpu.ops import pallas_fir
+
+        T = x.shape[-1]
+        k = self.ntaps
+        tail_re = state[..., 0, :]
+        tail_im = state[..., 1, :]
+        if (not self.complex_taps and self.impl != "fft"
+                and T % self.decim == 0):
+            n_out = T // self.decim
+            res = pallas_fir.banded_fir_stream(
+                (tail_re, tail_im), (x.re, x.im), self.taps,
+                self.decim, n_out)
+            if res is not None:
+                (yr, yi), n_main = res
+                if n_main < n_out:
+                    m0 = n_main
+                    start = m0 * self.decim - (k - 1)
+                    ln = (n_out - 1 - m0) * self.decim + k
+                    yr = jnp.concatenate([yr, conv1d_valid(
+                        x.re[..., start:start + ln], self.taps,
+                        self.decim)], axis=-1)
+                    yi = jnp.concatenate([yi, conv1d_valid(
+                        x.im[..., start:start + ln], self.taps,
+                        self.decim)], axis=-1)
+                new_state = jnp.stack([x.re[..., T - (k - 1):],
+                                       x.im[..., T - (k - 1):]], axis=-2)
+                return new_state, IqPair(yr, yi)
+        # plane-wise fallback (CPU, small blocks, complex taps)
+        xc_re = jnp.concatenate([tail_re, x.re], axis=-1)
+        xc_im = jnp.concatenate([tail_im, x.im], axis=-1)
+        n_out = (T - 1) // self.decim + 1
+        if self.complex_taps:
+            tr = jnp.real(self.taps)
+            ti = jnp.imag(self.taps)
+            rr = conv1d_valid(xc_re, tr, self.decim, out_len=n_out)
+            ii = conv1d_valid(xc_im, ti, self.decim, out_len=n_out)
+            ri = conv1d_valid(xc_re, ti, self.decim, out_len=n_out)
+            ir = conv1d_valid(xc_im, tr, self.decim, out_len=n_out)
+            y = IqPair(rr - ii, ri + ir)
+        else:
+            y = IqPair(conv1d_valid(xc_re, self.taps, self.decim,
+                                    out_len=n_out),
+                       conv1d_valid(xc_im, self.taps, self.decim,
+                                    out_len=n_out))
+        new_state = jnp.stack([xc_re[..., T:], xc_im[..., T:]], axis=-2)
+        return new_state, y
 
     def __call__(self, state, x):
-        tail = state
+        from qradiolink_tpu.core import IqPair
+        if isinstance(x, IqPair):
+            return self._call_pair(state, x)
+        tail_re = state[..., 0, :]
         if not jnp.iscomplexobj(x):
-            tail_x = tail.real.astype(x.dtype)
+            tail_x = tail_re.astype(x.dtype)
         else:
-            tail_x = tail
-        xc = jnp.concatenate([tail_x, x], axis=-1)
+            tail_x = lax.complex(tail_re, state[..., 1, :])
+        parts = [tail_x, x]
+        t_in = x.shape[-1] + self.ntaps - 1
+        n_out = (t_in - self.ntaps) // self.decim + 1
+        if self.impl != "fft" and not self.complex_taps:
+            # zero-pad in the same concat so the Pallas banded kernel
+            # (ops/pallas_fir.py) streams the block copy-free
+            from qradiolink_tpu.ops import pallas_fir
+            lead = int(np.prod(x.shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+            pad = pallas_fir.extra_pad(lead, t_in, self.ntaps, self.decim,
+                                       jnp.iscomplexobj(x))
+            if pad:
+                parts.append(jnp.zeros(x.shape[:-1] + (pad,), x.dtype))
+        xc = jnp.concatenate(parts, axis=-1)
         if self.impl == "fft":
             y = fft_fir_block(xc, self.taps, self.decim)
         else:
-            y = conv1d_valid(xc, self.taps, self.decim)
-        new_tail = xc[..., xc.shape[-1] - (self.ntaps - 1):].astype(jnp.complex64)
-        return new_tail, y
+            y = conv1d_valid(xc, self.taps, self.decim, out_len=n_out)
+        new_tail = xc[..., t_in - (self.ntaps - 1): t_in]
+        if jnp.iscomplexobj(new_tail):
+            new_state = jnp.stack([new_tail.real, new_tail.imag], axis=-2)
+        else:
+            new_tail = new_tail.astype(jnp.float32)
+            new_state = jnp.stack([new_tail, jnp.zeros_like(new_tail)],
+                                  axis=-2)
+        return new_state, y
 
 
 class FftFirFilter(FirFilter):

@@ -94,18 +94,57 @@ class RationalResampler(Block):
             self.offsets.append((r * self.M) // self.L)
 
     def init_state(self):
-        return jnp.zeros(self.lead_shape + (self.kp - 1,), dtype=jnp.complex64)
+        # f32 (re, im) tail planes — no complex64 in the hot path (the
+        # axon TPU pays a multi-ms shim per complex op; see core.IqPair)
+        return jnp.zeros(self.lead_shape + (2, self.kp - 1), jnp.float32)
 
-    def __call__(self, state, x):
+    def _call_pair(self, state, x):
+        """IqPair path: decimating head with zero complex64 ops.
+
+        L == 1 real-taps (every 1 Msps chain head) rides the concat-free
+        Pallas banded kernel; anything else falls back to plane-wise jnp.
+        Output is an IqPair at the decimated rate."""
+        from qradiolink_tpu.core import IqPair
+        from qradiolink_tpu.ops import pallas_fir
+
         T = x.shape[-1]
         if T % self.M != 0:
-            raise ValueError(f"block length {T} not a multiple of decimation {self.M}")
-        tail = state
-        if not jnp.iscomplexobj(x):
-            tail_x = tail.real.astype(x.dtype)
-        else:
-            tail_x = tail
-        xc = jnp.concatenate([tail_x, x], axis=-1)
+            raise ValueError(
+                f"block length {T} not a multiple of decimation {self.M}")
+        kp = self.kp
+        tail_re = state[..., 0, :]
+        tail_im = state[..., 1, :]
+        n_out = T // self.M * self.L
+        if self.L == 1 and not self.complex_taps:
+            taps = self.phase_taps[0]
+            res = pallas_fir.banded_fir_stream(
+                (tail_re, tail_im), (x.re, x.im), taps, self.M, n_out)
+            if res is not None:
+                (yr, yi), n_main = res
+                if n_main < n_out:
+                    m0 = n_main
+                    start = m0 * self.M - (kp - 1)
+                    ln = (n_out - 1 - m0) * self.M + kp
+                    yr = jnp.concatenate([yr, conv1d_valid(
+                        x.re[..., start:start + ln], taps, self.M)], axis=-1)
+                    yi = jnp.concatenate([yi, conv1d_valid(
+                        x.im[..., start:start + ln], taps, self.M)], axis=-1)
+                new_state = jnp.stack([x.re[..., T - (kp - 1):],
+                                       x.im[..., T - (kp - 1):]], axis=-2)
+                return new_state, IqPair(yr, yi)
+        if self.complex_taps:
+            # rare (complex prototype taps): do it in the complex domain
+            st, y = self.__call__(state, x.to_complex())
+            return st, y
+        xc_re = jnp.concatenate([tail_re, x.re], axis=-1)
+        xc_im = jnp.concatenate([tail_im, x.im], axis=-1)
+        yr = self._phases(xc_re, T)
+        yi = self._phases(xc_im, T)
+        new_state = jnp.stack([xc_re[..., T:], xc_im[..., T:]], axis=-2)
+        return new_state, IqPair(yr, yi)
+
+    def _phases(self, xc, T):
+        """Polyphase output for one plane of a tail+block concat."""
         n_out_per_phase = T // self.M
         ys = []
         for r in range(self.L):
@@ -116,8 +155,46 @@ class RationalResampler(Block):
             yr = conv1d_valid(seg, self.phase_taps[r], stride=self.M)
             ys.append(yr[..., :n_out_per_phase])
         if self.L == 1:
-            y = ys[0]
+            return ys[0]
+        return jnp.stack(ys, axis=-1).reshape(
+            xc.shape[:-1] + (n_out_per_phase * self.L,))
+
+    def __call__(self, state, x):
+        from qradiolink_tpu.core import IqPair
+        if isinstance(x, IqPair):
+            return self._call_pair(state, x)
+        T = x.shape[-1]
+        if T % self.M != 0:
+            raise ValueError(f"block length {T} not a multiple of decimation {self.M}")
+        tail_re = state[..., 0, :]
+        if not jnp.iscomplexobj(x):
+            tail_x = tail_re.astype(x.dtype)
         else:
-            y = jnp.stack(ys, axis=-1).reshape(x.shape[:-1] + (n_out_per_phase * self.L,))
-        new_tail = xc[..., xc.shape[-1] - (self.kp - 1):].astype(jnp.complex64)
-        return new_tail, y
+            import jax.lax as lax
+            tail_x = lax.complex(tail_re, state[..., 1, :])
+        parts = [tail_x, x]
+        t_in = T + self.kp - 1
+        n_out_per_phase = T // self.M
+        if self.L == 1 and not self.complex_taps:
+            # pad inside the same concat so the decimating head can run
+            # on the Pallas banded kernel copy-free (ops/pallas_fir.py)
+            from qradiolink_tpu.ops import pallas_fir
+            lead = int(np.prod(x.shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+            pad = pallas_fir.extra_pad(lead, t_in, self.kp, self.M,
+                                       jnp.iscomplexobj(x))
+            if pad:
+                parts.append(jnp.zeros(x.shape[:-1] + (pad,), x.dtype))
+        xc = jnp.concatenate(parts, axis=-1)
+        if self.L == 1 and not self.complex_taps:
+            y = conv1d_valid(xc, self.phase_taps[0], stride=self.M,
+                             out_len=n_out_per_phase)
+        else:
+            y = self._phases(xc[..., :t_in], T)
+        new_tail = xc[..., t_in - (self.kp - 1): t_in]
+        if jnp.iscomplexobj(new_tail):
+            new_state = jnp.stack([new_tail.real, new_tail.imag], axis=-2)
+        else:
+            new_tail = new_tail.astype(jnp.float32)
+            new_state = jnp.stack([new_tail, jnp.zeros_like(new_tail)],
+                                  axis=-2)
+        return new_state, y

@@ -35,9 +35,15 @@ class SpectrumProbe:
         return 10.0 * jnp.log10(p + 1e-20)
 
 
-def rssi_dbm(x: jnp.ndarray, cal_offset_db: float = 0.0) -> jnp.ndarray:
-    """Block RSSI estimate in dB(m): smoothed mean power of the filtered tap."""
-    p = jnp.mean(x.real**2 + x.imag**2, axis=-1)
+def rssi_dbm(x, cal_offset_db: float = 0.0) -> jnp.ndarray:
+    """Block RSSI estimate in dB(m): smoothed mean power of the filtered tap.
+
+    Accepts complex arrays or core.IqPair (f32 planes; complex-free)."""
+    from qradiolink_tpu.core import IqPair
+    if isinstance(x, IqPair):
+        p = jnp.mean(x.re * x.re + x.im * x.im, axis=-1)
+    else:
+        p = jnp.mean(x.real**2 + x.imag**2, axis=-1)
     return 10.0 * jnp.log10(p + 1e-20) + cal_offset_db
 
 

@@ -67,6 +67,34 @@ class CommandProcessor:
             lambda: str(int(s.vox_level * 100)))
         add("voipbitrate", 0, "Get VOIP bitrate",
             lambda: str(s.voip_bitrate))
+        add("rxctcss", 0, "Get RX CTCSS", lambda: str(s.rx_ctcss))
+        add("txctcss", 0, "Get TX CTCSS", lambda: str(s.tx_ctcss))
+        add("rxgain", 0, "Get RX gain value", lambda: str(s.rx_gain))
+        add("txgain", 0, "Get TX gain value", lambda: str(s.tx_gain))
+        add("voipstatus", 0, "Get VOIP status",
+            lambda: "VOIP connected" if self._voip_connected()
+            else "VOIP disconnected")
+        add("forwardingstatus", 0, "Get radio forwarding status",
+            lambda: "Radio forwarding enabled" if s.voip_forwarding
+            else "Radio forwarding disabled")
+        add("repeaterstatus", 0, "Get repeater status",
+            lambda: "Repeater enabled" if s.repeater_enabled
+            else "Repeater disabled")
+        add("duplexstatus", 0, "Get duplex status",
+            lambda: "Duplex enabled" if s.enable_duplex
+            else "Duplex disabled")
+        add("agcattack", 0, "Get AGC attack value",
+            lambda: str(s.agc_attack))
+        add("agcdecay", 0, "Get AGC decay value", lambda: str(s.agc_decay))
+        add("udpstatus", 0, "Get UDP audio forwarding status",
+            lambda: "UDP streaming enabled" if s.udp_enabled
+            else "UDP streaming disabled")
+        add("voipvolume", 0, "Get VOIP volume value",
+            lambda: str(s.voip_volume))
+        add("muteforwarding", 0,
+            "Get local mute status of VOIP forwarded radio",
+            lambda: "Forwarded audio muted" if s.mute_forwarded_audio
+            else "Forwarded audio unmuted")
 
         # action verbs (commandprocessor.cpp:1150-1186)
         add("setrx", 1, "Start/stop receiver, 1 enabled, 0 disabled",
@@ -130,17 +158,68 @@ class CommandProcessor:
         add("setaudiorecorder", 1,
             "Toggle audio recording, (1 enabled, 0 disabled)",
             self._set_recorder)
-        # verbs whose subsystem is hosted elsewhere / absent
-        for name, nargs, txt in (
-                ("connectserver", 2, "Connect to Mumble server"),
-                ("disconnectserver", 0, "Disconnect from Mumble server"),
-                ("mumblemsg", 1, "Send Mumble message"),
-                ("mutemumble", 1, "Mute Mumble connection"),
-                ("setrelays", 1, "Enable relay control"),
-                ("setrxsamprate", 1, "Set RX sample rate")):
-            add(name, nargs, txt,
-                (lambda *a, _n=name:
-                 f"{_n}: subsystem not available in this build"))
+        add("setrxctcss", 1,
+            "Set RX CTCSS (floating point number, 0.0 to 200.0)",
+            lambda v: self._set_ctcss(v, rx=True))
+        add("settxctcss", 1,
+            "Set TX CTCSS (floating point number, 0.0 to 200.0)",
+            lambda v: self._set_ctcss(v, rx=False))
+        add("setrxgain", 1, "Set RX gain (integer number, 0 to 99)",
+            lambda v: self._set_num("rx_gain", v, 0, 99, "RX gain"))
+        add("settxgain", 1, "Set TX gain (integer number, 0 to 99)",
+            lambda v: self._set_num("tx_gain", v, 0, 99, "TX gain"))
+        add("setduplex", 1, "Set duplex mode, (1 enabled, 0 disabled)",
+            lambda v: self._set_flag("enable_duplex", v, "duplex mode"))
+        add("setforwarding", 1,
+            "Set radio forwarding mode, (1 enabled, 0 disabled)",
+            lambda v: self._set_flag("voip_forwarding", v,
+                                     "radio forwarding"))
+        add("setrepeater", 1, "Set repeater mode, (1 enabled, 0 disabled)",
+            lambda v: self._set_flag("repeater_enabled", v,
+                                     "repeater mode"))
+        add("setmuteforwarding", 1,
+            "Toggle local mute status of VOIP forwarded radio, "
+            "(1 enabled, 0 disabled)",
+            lambda v: self._set_flag("mute_forwarded_audio", v,
+                                     "forwarded audio mute"))
+        add("setpttvoip", 1, "Use PTT for VOIP, (1 enabled, 0 disabled)",
+            lambda v: self._set_flag("voip_ptt_enabled", v,
+                                     "PTT for VOIP"))
+        add("setudpenabled", 1,
+            "Set UDP streaming mode, (1 enabled, 0 disabled)",
+            lambda v: self._set_flag("udp_enabled", v, "UDP streaming"))
+        add("autosquelch", 0, "Set autosquelch", self._autosquelch)
+        add("setfilterwidth", 1,
+            "Set filter width (analog only), (integer value in Hz)",
+            self._set_filter_width)
+        add("changechannel", 1,
+            "Change channel to channel number (integer channel number)",
+            self._set_chan)
+        add("setagcattack", 1, "Set AGC attack value",
+            lambda v: self._set_num("agc_attack", v, 0, 1000,
+                                    "AGC attack"))
+        add("setagcdecay", 1, "Set AGC decay value",
+            lambda v: self._set_num("agc_decay", v, 0, 5000, "AGC decay"))
+        add("setvoipvolume", 1,
+            "Set VOIP volume value, (integer value level between 0 and 100)",
+            lambda v: self._set_num("voip_volume", v, 0, 100,
+                                    "VOIP volume"))
+        add("setrxsamprate", 1, "Set RX sample rate, (integer value in Msps)",
+            self._set_samp_rate)
+        # Mumble VOIP verbs operate on the attached client
+        add("connectserver", 2,
+            "Connect to Mumble server, (string value hostname, integer "
+            "value port)", self._connect_server)
+        add("disconnectserver", 0, "Disconnect from Mumble server",
+            self._disconnect_server)
+        add("mumblemsg", 1, "Send Mumble message, (string value text)",
+            self._mumble_msg)
+        add("mutemumble", 1, "Mute Mumble connection, (1 enabled, 0 disabled)",
+            self._mute_mumble)
+        # true hardware verbs: FTDI relay board only
+        add("setrelays", 1, "Enable relay control, (1 enabled, 0 disabled)",
+            lambda *a: "setrelays: FTDI relay hardware not available "
+            "in this build")
 
     # ------------------------------------------------------------ handlers
     def _bool_param(self, v):
@@ -321,6 +400,97 @@ class CommandProcessor:
             return None
         self.settings.tx_band_limits = bool(b)
         return f"Setting TX band limits to {b}"
+
+    def _set_flag(self, attr, v, label):
+        b = self._bool_param(v)
+        if b is None:
+            return None
+        setattr(self.settings, attr, bool(b))
+        return f"Setting {label} to {b}"
+
+    def _set_ctcss(self, v, rx: bool):
+        try:
+            hz = float(v)
+        except ValueError:
+            return None
+        if not 0.0 <= hz <= 200.0:
+            return None
+        if rx:
+            self.ctl.set_rx_ctcss(hz)
+            return f"Setting RX CTCSS to {hz}"
+        self.ctl.set_tx_ctcss(hz)
+        return f"Setting TX CTCSS to {hz}"
+
+    def _autosquelch(self):
+        sq = self.ctl.auto_squelch()
+        return f"Setting squelch value to {int(sq)}"
+
+    def _set_filter_width(self, v):
+        try:
+            hz = int(v)
+        except ValueError:
+            return None
+        if not 100 <= hz <= 500_000:
+            return None
+        self.ctl.set_filter_width(hz)
+        return f"Setting filter width to {hz} Hz"
+
+    def _set_samp_rate(self, v):
+        try:
+            msps = int(v)
+        except ValueError:
+            return None
+        if not 1 <= msps <= 100:
+            return None
+        self.settings.rx_sample_rate = msps * 1_000_000
+        return f"Setting RX sample rate to {msps} Msps"
+
+    def _connect_server(self, host, port):
+        try:
+            port = int(port)
+        except ValueError:
+            return None
+        self.settings.voip_server = str(host)
+        self.settings.voip_port = port
+        if self.voip is None:
+            try:
+                from qradiolink_tpu.voip.mumble import MumbleClient
+                self.voip = MumbleClient(str(host), port,
+                                         password=self.settings.voip_password)
+            except Exception as e:
+                return f"Command failed: {e}"
+        try:
+            self.voip.connect()
+        except Exception as e:
+            return f"Could not connect to server: {e}"
+        return f"Connecting to server {host} port {port}"
+
+    def _disconnect_server(self):
+        if self.voip is not None:
+            try:
+                self.voip.close()
+            except Exception:
+                pass
+        return "Disconnected from VOIP server"
+
+    def _voip_connected(self) -> bool:
+        return (self.voip is not None
+                and getattr(self.voip, "_sock", None) is not None)
+
+    def _mumble_msg(self, text):
+        if not self._voip_connected():
+            return "Not connected to a VOIP server"
+        self.voip.send_text(str(text))
+        return f"Sending message: {text}"
+
+    def _mute_mumble(self, v):
+        b = self._bool_param(v)
+        if b is None:
+            return None
+        if not self._voip_connected():
+            return "Not connected to a VOIP server"
+        self.voip.set_self_mute(bool(b))
+        return f"Setting Mumble mute to {b}"
 
     def _shutdown(self):
         self.shutdown_requested = True

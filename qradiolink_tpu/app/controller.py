@@ -89,10 +89,12 @@ class RadioController:
         try:
             spec = get_mode(mode)
             self._rx_mode = mode
-            self._rx = rx_chain(mode)
+            self._rx = self._build_chain(rx_chain, mode, rx=True)
             self._rx_state = self._rx.init_state()
             self._deframer = Deframer(mode) if spec.framing else None
             self.set_carrier_offset(self.settings.demod_offset)
+            if spec.kind == "mmdvm":
+                self._ensure_mmdvm_session(mode)
         except Exception as e:
             self._rx = None
             self._rx_state = None
@@ -103,6 +105,67 @@ class RadioController:
         self.init_error = None
         self.log.info("RX mode %s", mode)
 
+    def _build_chain(self, factory, mode: str, rx: bool):
+        """Chain construction with the runtime analog overrides the
+        reference applies through gr_modem (setRxCTCSS
+        radiocontroller.cpp:2822-2830, setFilterWidth): CTCSS tone and
+        filter width are passed to factories that accept them; modes
+        whose chains have no such knob simply ignore the setting."""
+        s = self.settings
+        kw = {}
+        ctcss = s.rx_ctcss if rx else s.tx_ctcss
+        if ctcss and float(ctcss) > 0:
+            kw["ctcss_hz"] = float(ctcss)
+        if getattr(s, "filter_width", 0):
+            kw["filter_width"] = float(s.filter_width)
+        while True:
+            try:
+                return factory(mode, **kw)
+            except TypeError:
+                if "ctcss_hz" in kw:
+                    kw.pop("ctcss_hz")
+                elif "filter_width" in kw:
+                    kw.pop("filter_width")
+                else:
+                    raise
+
+    def _rebuild_rx(self):
+        if self._rx_mode:
+            self.toggle_rx_mode(self._rx_mode)
+
+    def _rebuild_tx(self):
+        if self._tx_mode:
+            self.toggle_tx_mode(self._tx_mode)
+
+    def set_rx_ctcss(self, hz: float):
+        """reference RadioController::setRxCTCSS
+        (radiocontroller.cpp:2822-2830): store + rebuild the demod with
+        the CTCSS squelch inserted."""
+        if abs(self.settings.rx_ctcss - float(hz)) > 1e-3:
+            self.settings.rx_ctcss = float(hz)
+            self._rebuild_rx()
+
+    def set_tx_ctcss(self, hz: float):
+        if abs(self.settings.tx_ctcss - float(hz)) > 1e-3:
+            self.settings.tx_ctcss = float(hz)
+            self._rebuild_tx()
+
+    def set_filter_width(self, hz: int):
+        """Analog filter-width override (reference setFilterWidth)."""
+        self.settings.filter_width = int(hz)
+        self._rebuild_rx()
+
+    def auto_squelch(self) -> float:
+        """reference MainWindow::autoSquelch (mainwindow.cpp:2134-2141):
+        squelch = rssi + (|cal| - 80) + 50."""
+        rssi = getattr(self, "last_rssi", None)
+        if rssi is None:
+            return self.settings.squelch_db
+        cal = self.settings.rssi_calibration_value
+        self.settings.squelch_db = float(
+            int(rssi) + (abs(int(cal)) - 80) + 50)
+        return self.settings.squelch_db
+
     def set_carrier_offset(self, offset_hz: float):
         """Rotator front-end (reference setCarrierOffset)."""
         if offset_hz:
@@ -112,6 +175,44 @@ class RadioController:
         else:
             self._rotator = None
             self._rot_state = None
+
+    def _ensure_mmdvm_session(self, mode: str):
+        """Stand up the ZMQ transport + BurstTimer for MMDVM modes
+        (reference radiocontroller.cpp:1996-2003). Degrades to
+        chain-only operation when pyzmq is absent."""
+        n = self.settings.mmdvm_channels if mode == "MMDVMmulti" else 1
+        sess = getattr(self, "_mmdvm", None)
+        if sess is not None and sess.C == n:
+            return
+        if sess is not None:
+            sess.close()
+        try:
+            from qradiolink_tpu.app.mmdvm_session import MmdvmSession
+            self._mmdvm = MmdvmSession(self.settings, num_channels=n)
+        except Exception as e:
+            self._mmdvm = None
+            self.log.error("MMDVM transport unavailable: %s", e)
+
+    def mmdvm_tx_poll(self, n24: int):
+        """Poll MMDVMHost for TX baseband and modulate one block:
+        n24 samples at 24 ksps -> 250 ksps IQ (or None when idle).
+        The mask path is the reference's zero_idle_bursts gating."""
+        sess = getattr(self, "_mmdvm", None)
+        if sess is None or self._tx is None:
+            return None
+        audio, mask = sess.poll_tx(int(n24))
+        if not mask.any():
+            return None
+        if self._tx_mode == "MMDVMmulti":
+            # MmdvmMultiTx gates after its 25/24 resampler — scale the
+            # burst mask onto that timeline (tag propagation through the
+            # resampler, reference gr_mod_mmdvm_multi2.cpp)
+            tm = mask.shape[-1] * 25 // 24
+            idx = np.minimum(np.arange(tm) * 24 // 25, mask.shape[-1] - 1)
+            mask = mask[..., idx]
+        self._tx_state, out = self._tx(
+            self._tx_state, jnp.asarray(audio), mask=jnp.asarray(mask))
+        return np.asarray(out["iq"]) * self.settings.bb_gain
 
     def _dmr_stack(self):
         """Lazy DMR call stack (DmrControl + stream glue) — the
@@ -417,6 +518,12 @@ class RadioController:
                     self._last_data_time = None
                     if self._deframer:
                         self._deframer.reset()
+        elif self._rx_mode in ("MMDVM", "MMDVMmulti") and "audio" in out:
+            # MMDVM baseband goes to MMDVMHost, not the speaker
+            sess = getattr(self, "_mmdvm", None)
+            if sess is not None:
+                sess.publish_rx(np.asarray(out["audio"]),
+                                np.asarray(out["rssi_slots"]))
         elif "audio" in out:
             audio = np.asarray(out["audio"]) * self.settings.rx_volume
             rec = getattr(self, "_recorder", None)
@@ -462,7 +569,7 @@ class RadioController:
         try:
             spec = get_mode(mode)
             self._tx_mode = mode
-            self._tx = tx_chain(mode)
+            self._tx = self._build_chain(tx_chain, mode, rx=False)
             self._tx_state = self._tx.init_state()
             self._framer = Layer1Framer(mode) if spec.framing else None
         except Exception as e:
@@ -517,17 +624,21 @@ class RadioController:
         if vox > 0 and float(np.sqrt(np.mean(pcm ** 2))) < vox:
             return None
         spec = get_mode(self._tx_mode)
-        if self.settings.audio_compressor:
+        s = self.settings
+        if s.audio_compressor or s.audio_denoise:
             if not hasattr(self, "_audio_proc"):
                 from qradiolink_tpu.audio.processor import AudioProcessor
-                self._audio_proc = AudioProcessor()
+                self._audio_proc = AudioProcessor(
+                    denoise=s.audio_denoise,
+                    agc_attack=s.agc_attack, agc_decay=s.agc_decay)
             if spec.kind == "analog":
                 amode = self._audio_proc.AUDIO_MODE_ANALOG
             elif self._voice_codec(self._tx_mode or "")[0] == "opus":
                 amode = self._audio_proc.AUDIO_MODE_OPUS
             else:
                 amode = self._audio_proc.AUDIO_MODE_CODEC2
-            pcm = self._audio_proc.write_preprocess(pcm, amode)
+            pcm = self._audio_proc.write_preprocess(
+                pcm, amode, compress=s.audio_compressor)
         if spec.kind == "analog":
             self._tx_state, out = self._tx(
                 self._tx_state, jnp.asarray(pcm * self.settings.tx_volume))

@@ -42,11 +42,11 @@ def _spec(name, kind, rx, tx, framing=None, step=12500, bit_rate=0):
 
 
 MODES = {
-    "FM": _spec("FM", "analog", lambda **k: NbfmDemod(filter_width=5000.0, **k),
-                lambda **k: NbfmMod(filter_width=5000.0, **k), step=12500),
+    "FM": _spec("FM", "analog", lambda **k: NbfmDemod(**{"filter_width": 5000.0, **k}),
+                lambda **k: NbfmMod(**{"filter_width": 5000.0, **k}), step=12500),
     "NBFM": _spec("NBFM", "analog",
-                  lambda **k: NbfmDemod(filter_width=2500.0, **k),
-                  lambda **k: NbfmMod(filter_width=2500.0, **k), step=6250),
+                  lambda **k: NbfmDemod(**{"filter_width": 2500.0, **k}),
+                  lambda **k: NbfmMod(**{"filter_width": 2500.0, **k}), step=6250),
     "WBFM": _spec("WBFM", "analog", lambda **k: WbfmDemod(**k), None,
                   step=100000),
     "AM": _spec("AM", "analog", lambda **k: AmDemod(**k),
@@ -167,6 +167,30 @@ def _freedv_entries():
 
 
 MODES.update(_freedv_entries())
+
+
+# MMDVM / MMDVMmulti (reference ModemTypeMMDVM / ModemTypeMMDVMmulti,
+# radiocontroller.cpp:1996-2003: 250 ksps device rate, baseband carried
+# to external MMDVMHost over ZeroMQ; RadioController attaches an
+# app.mmdvm_session.MmdvmSession when one of these modes is toggled)
+def _mmdvm_entries():
+    from qradiolink_tpu.chains.mmdvm import (
+        MmdvmDemod, MmdvmMod, MmdvmMultiRx, MmdvmMultiTx)
+    return {
+        "MMDVM": _spec("MMDVM", "mmdvm",
+                       lambda **k: MmdvmDemod(**k),
+                       lambda **k: MmdvmMod(**k), step=12500,
+                       bit_rate=9600),
+        "MMDVMmulti": _spec("MMDVMmulti", "mmdvm",
+                            lambda num_channels=7, **k:
+                            MmdvmMultiRx(num_channels=num_channels, **k),
+                            lambda num_channels=7, **k:
+                            MmdvmMultiTx(num_channels=num_channels, **k),
+                            step=25000, bit_rate=9600),
+    }
+
+
+MODES.update(_mmdvm_entries())
 
 
 def get_mode(name: str) -> ModeSpec:

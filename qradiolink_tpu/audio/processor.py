@@ -189,6 +189,99 @@ PRESETS = {
 }
 
 
+class Denoiser:
+    """Spectral-subtraction denoiser + slow AGC on 320-sample frames.
+
+    The Speex-preprocess equivalent for the TX capture path: the
+    reference initializes speex_preprocess with DENOISE on and
+    NOISE_SUPPRESS=-45 dB (src/audio/audioprocessor.cpp:27-52 — the
+    block is compiled out in the shipped build, which is why
+    Settings.audio_denoise defaults to False here too; enabling it
+    activates this stage in write_preprocess).
+
+    Method: 50%-overlap sqrt-Hann WOLA at the frame size; noise PSD per
+    bin tracked with minima-controlled recursive averaging (MCRA-style:
+    follow downward immediately, creep upward slowly so speech never
+    trains the noise model); per-bin Wiener-like gain floored at the
+    suppress level. AGC (optional) applies a slow gain toward a target
+    RMS with attack/decay step counts matching the reference's
+    agc_attack / agc_decay settings semantics.
+    """
+
+    def __init__(self, rate: int = 8000, frame: int = 320,
+                 suppress_db: float = -45.0, denoise: bool = True,
+                 agc: bool = False,
+                 agc_target: float = 0.1, agc_attack: int = 1,
+                 agc_decay: int = 100):
+        self.rate = rate
+        self.denoise_enabled = bool(denoise)
+        self.frame = int(frame)
+        self.hop = self.frame // 2
+        self.win = np.sqrt(np.hanning(self.frame + 1)[:-1].astype(np.float64)
+                           + 1e-12)
+        self.floor = 10.0 ** (suppress_db / 20.0)
+        self.noise = None              # per-bin noise PSD estimate
+        self.psd_s = None              # smoothed per-bin PSD
+        self.up = 1.03                 # upward creep per frame (~0.13 dB)
+        self.alpha = 0.85              # downward smoothing
+        self.beta = 2.5                # over-subtraction factor
+        self._in_tail = np.zeros(self.hop)
+        self._ola_tail = np.zeros(self.hop)
+        self.agc_enabled = bool(agc)
+        self.agc_target = float(agc_target)
+        self.agc_attack = max(int(agc_attack), 1)
+        self.agc_decay = max(int(agc_decay), 1)
+        self.agc_gain = 1.0
+
+    def _denoise_frame(self, fr: np.ndarray) -> np.ndarray:
+        spec = np.fft.rfft(fr * self.win)
+        psd = np.abs(spec) ** 2
+        if self.psd_s is None:
+            self.psd_s = psd.copy()
+            self.noise = psd.copy() + 1e-12
+        else:
+            self.psd_s = 0.6 * self.psd_s + 0.4 * psd
+            lower = self.psd_s < self.noise
+            self.noise = np.where(
+                lower,
+                self.alpha * self.noise + (1 - self.alpha) * self.psd_s,
+                self.noise * self.up)
+        # over-subtracted Wiener gain on the smoothed PSD, floored at
+        # the suppress level (the -45 dB NOISE_SUPPRESS role)
+        gain = np.maximum(
+            1.0 - self.beta * self.noise / np.maximum(self.psd_s, 1e-12),
+            0.0)
+        gain = np.maximum(np.sqrt(gain), self.floor)
+        return np.fft.irfft(spec * gain, n=self.frame) * self.win
+
+    def process(self, audio: np.ndarray) -> np.ndarray:
+        """Stream 8 kHz float audio through denoise (+AGC). Output is
+        delayed by one hop (WOLA latency), length-preserving for
+        hop-multiple blocks."""
+        x = np.concatenate([self._in_tail, np.asarray(audio, np.float64)])
+        n_frames = (len(x) - self.hop) // self.hop
+        out = np.zeros(max(n_frames, 0) * self.hop)
+        for i in range(n_frames):
+            fr = x[i * self.hop: i * self.hop + self.frame]
+            if self.denoise_enabled:
+                y = self._denoise_frame(fr)
+            else:
+                y = fr * (self.win * self.win)  # AGC-only pass-through
+            y[: self.hop] += self._ola_tail
+            out[i * self.hop: (i + 1) * self.hop] = y[: self.hop]
+            self._ola_tail = y[self.hop:].copy()
+        self._in_tail = x[len(x) - self.hop:]
+        if self.agc_enabled and len(out):
+            rms = float(np.sqrt(np.mean(out * out)) + 1e-12)
+            want = self.agc_target / rms
+            step = (self.agc_attack if want < self.agc_gain
+                    else self.agc_decay)
+            self.agc_gain += (want - self.agc_gain) / step
+            self.agc_gain = float(np.clip(self.agc_gain, 0.01, 100.0))
+            out = out * self.agc_gain
+        return out.astype(np.float32)
+
+
 class AudioProcessor:
     """Per-mode audio conditioning (reference AudioProcessor)."""
 
@@ -196,8 +289,14 @@ class AudioProcessor:
     AUDIO_MODE_OPUS = "opus"
     AUDIO_MODE_CODEC2 = "codec2"
 
-    def __init__(self, rate: int = 8000):
+    def __init__(self, rate: int = 8000, denoise: bool = False,
+                 agc: bool = False, agc_attack: int = 1,
+                 agc_decay: int = 100):
         self.rate = rate
+        self.denoiser = (Denoiser(rate, denoise=denoise, agc=agc,
+                                  agc_attack=agc_attack,
+                                  agc_decay=agc_decay)
+                         if (denoise or agc) else None)
         self._comp = {key: Compressor(rate, *args)
                       for key, args in PRESETS.items()}
         # Codec2 700/1400 band-pass: 256-tap 200-3000 Hz
@@ -212,12 +311,19 @@ class AudioProcessor:
 
     # -- compression ---------------------------------------------------------
     def write_preprocess(self, audio: np.ndarray, audio_mode: str,
-                         preprocess: bool = True) -> np.ndarray:
-        """TX-side conditioning (audioprocessor.cpp:142-149): compress,
-        and band-pass for Codec2 modes."""
+                         preprocess: bool = True,
+                         compress: bool = True) -> np.ndarray:
+        """TX-side conditioning (audioprocessor.cpp:142-149): denoise,
+        compress, and band-pass for Codec2 modes."""
         if not preprocess:
             return np.asarray(audio, np.float32)
-        y = self._comp[("write", audio_mode)].process(audio)
+        y = np.asarray(audio, np.float32)
+        if self.denoiser is not None:
+            # denoise/AGC run first, exactly where the reference calls
+            # speex_preprocess_run on each capture frame
+            y = self.denoiser.process(y)
+        if compress:
+            y = self._comp[("write", audio_mode)].process(y)
         if audio_mode == self.AUDIO_MODE_CODEC2:
             y = self.filter_audio(y)
         return y

@@ -72,3 +72,65 @@ def test_vad_level():
                                    preprocess=False, vox_level=0.1)
     assert not active2
     assert -100.0 <= p.audio_level <= 20.0
+
+
+# ---------------------------------------------------------------- denoiser
+def test_denoiser_drops_noise_floor():
+    """A/B spectral test: stationary noise floor must drop >= 10 dB while
+    an in-band tone is preserved (the Speex DENOISE/-45 dB role,
+    reference audioprocessor.cpp:27-52)."""
+    from qradiolink_tpu.audio.processor import Denoiser
+
+    rng = np.random.default_rng(7)
+    fs = 8000
+    t = np.arange(fs * 4) / fs
+    tone = 0.5 * np.sin(2 * np.pi * 800 * t)
+    # speech-like amplitude gating: tone active in bursts
+    gate = (np.sin(2 * np.pi * 0.7 * t) > 0).astype(float)
+    noise = 0.05 * rng.standard_normal(len(t))
+    x = tone * gate + noise
+
+    dn = Denoiser(fs)
+    # process in 320-sample frames like the capture path
+    out = np.concatenate([dn.process(x[i:i + 320])
+                          for i in range(0, len(x), 320)])
+    # analyze the second half (noise model converged); compare noise
+    # power away from the tone bin
+    half = len(out) // 2
+    spec_in = np.abs(np.fft.rfft(x[half:half + 8192])) ** 2
+    spec_out = np.abs(np.fft.rfft(out[half:half + 8192])) ** 2
+    freqs = np.fft.rfftfreq(8192, 1 / fs)
+    noise_band = (freqs > 1500) & (freqs < 3500)
+    drop_db = 10 * np.log10(spec_in[noise_band].sum()
+                            / max(spec_out[noise_band].sum(), 1e-20))
+    assert drop_db >= 10.0, f"noise floor only dropped {drop_db:.1f} dB"
+    # tone band preserved within 3 dB
+    tone_band = (freqs > 700) & (freqs < 900)
+    keep_db = 10 * np.log10(spec_out[tone_band].sum()
+                            / spec_in[tone_band].sum())
+    assert keep_db > -3.0, f"tone attenuated {keep_db:.1f} dB"
+
+
+def test_denoiser_agc_converges_to_target():
+    from qradiolink_tpu.audio.processor import Denoiser
+
+    rng = np.random.default_rng(3)
+    fs = 8000
+    dn = Denoiser(fs, denoise=False, agc=True, agc_target=0.1,
+                  agc_attack=1, agc_decay=20)
+    t = np.arange(fs * 3) / fs
+    x = 0.01 * np.sin(2 * np.pi * 700 * t)  # quiet input
+    outs = [dn.process(x[i:i + 320]) for i in range(0, len(x), 320)]
+    rms_tail = float(np.sqrt(np.mean(np.concatenate(outs[-10:]) ** 2)))
+    assert 0.05 < rms_tail < 0.2  # pulled toward target 0.1
+
+
+def test_write_preprocess_with_denoise_path():
+    from qradiolink_tpu.audio.processor import AudioProcessor
+
+    rng = np.random.default_rng(5)
+    ap = AudioProcessor(denoise=True)
+    y = ap.write_preprocess(rng.standard_normal(640).astype(np.float32) * 0.1,
+                            AudioProcessor.AUDIO_MODE_ANALOG, compress=False)
+    assert y.shape == (640,)
+    assert np.isfinite(y).all()

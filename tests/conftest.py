@@ -44,3 +44,23 @@ def run_chunked(block, x, n):
         state, y = block(state, jnp.asarray(c))
         outs.append(np.asarray(y))
     return np.concatenate(outs, axis=-1)
+
+
+# -- fast inner-loop subset ("pytest -m fast", ~2 min) ----------------------
+# Modules whose tests are cheap: pure-numpy/FEC/protocol units and small
+# CPU DSP checks. The full suite (~17 min on 2 cores) stays the CI gate.
+FAST_MODULES = {
+    "test_fir", "test_resample", "test_ops", "test_firdes", "test_sync",
+    "test_fec", "test_framing", "test_command", "test_command_parity",
+    "test_m17_golden", "test_dmr_fec", "test_block_codes",
+    "test_limits_gpredict", "test_audio_processor", "test_channelizer",
+    "test_ambe_fec", "test_dmr_protocol", "test_dmr_signalling",
+    "test_dmr_data",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for it in items:
+        mod = getattr(it, "module", None)
+        if mod is not None and mod.__name__ in FAST_MODULES:
+            it.add_marker(pytest.mark.fast)

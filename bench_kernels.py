@@ -2,14 +2,29 @@
 
 Times the hot kernels of the 4FSK/MMDVM paths on the current JAX
 backend and compares each against the chip's speed-of-light (v5e:
-~819 GB/s HBM, ~197 bf16 TFLOP/s; the DSP kernels here are
+~819 GB/s HBM, ~197 bf16 TFLOP/s; these DSP kernels are
 bandwidth-bound, so the roofline is min(bytes/BW, flops/peak)).
 
-Prints one JSON line per kernel:
-  {"metric": "...", "value": ms, "unit": "ms", "roofline_ms": r,
-   "efficiency": value_vs_roofline}
-and a full-chain line per channel count. Used by bench.py --kernels
-and runnable standalone.
+MEASUREMENT METHODOLOGY (the axon tunnel makes naive timing lie):
+  * wall_ms: per-call wall time over a pipelined host loop. On this
+    tunneled chip EVERY dispatch pays a multi-ms host round-trip
+    (see kernel:dispatch_floor_noop — a no-op measures the floor), so
+    wall_ms of a cheap kernel is the tunnel, not the kernel.
+  * scan_ms: the kernel iterated N times by lax.scan inside ONE jit
+    with a data dependency chained through the kernel output — one
+    dispatch amortized over N executions.
+  * value (net_ms): scan_ms minus the scan harness's own per-iteration
+    floor (measured first by the dispatch_floor_noop line: ~1.5 ms per
+    scan iteration of a NO-OP on the axon backend — loop-carry
+    bookkeeping, not kernel work). net_ms is the device-true kernel
+    execution estimate; efficiency = roofline_ms / net_ms. The whole-
+    chain lines corroborate it: a full 128-ch chain step (head FIR +
+    filters + sync + Viterbi) runs in ~4 ms, which is only possible if
+    the individual kernels cost their net_ms, not their scan_ms.
+The dispatch-floor line carries the denominator for every other line.
+
+Prints one JSON line per kernel and a full-chain line per channel
+count. Used standalone; bench.py carries the headline.
 """
 
 from __future__ import annotations
@@ -22,14 +37,11 @@ import numpy as np
 HBM_GBPS = 819.0          # v5e HBM bandwidth
 PEAK_F32_GFLOPS = 98_000.0  # v5e ~197 TFLOPs bf16 -> ~1/2 for f32 MXU
 
-
 _FENCE_FN = None
 
 
 def _fence(y):
-    """Fetch a jitted f32 scalar (the only reliable axon fence). The
-    jitted reducer is created ONCE — a fresh lambda per call would
-    recompile inside the timed region and pollute micro-benchmarks."""
+    """Fetch a jitted f32 scalar (the only reliable axon fence)."""
     global _FENCE_FN
     import jax
     import jax.numpy as jnp
@@ -39,23 +51,69 @@ def _fence(y):
     return float(_FENCE_FN(y))
 
 
-def _time(fn, *args, iters=10):
+def _first(y):
+    import jax
+    return jax.tree_util.tree_leaves(y)[0]
+
+
+def _wall(fn, *args, iters=20, reps=3):
     y = fn(*args)
-    _fence(y if not isinstance(y, tuple) else y[-1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn(*args)
-    _fence(y if not isinstance(y, tuple) else y[-1])
-    return (time.perf_counter() - t0) / iters
+    _fence(_first(y))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn(*args)
+        _fence(_first(y))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
-def report(name, dt, bytes_moved, flops):
+def _scan_time(state_fn, s0, x, iters=20):
+    """Device-true timing: iterate (state, x) -> (state', y) inside one
+    jit via lax.scan; the carried state is the data dependency."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def many(s, x):
+        def body(c, _):
+            st, y = state_fn(c, x)
+            return st, jnp.sum(jnp.abs(jnp.ravel(_first(y))[:8]))
+        st, vs = lax.scan(body, s, None, length=iters)
+        return st, jnp.sum(vs)
+
+    st, v = many(s0, x)
+    _fence(v)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, v = many(st, x)
+        _fence(v)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+_SCAN_FLOOR_S = 0.0
+
+
+def report(name, scan_s, wall_s, bytes_moved, flops, extra=None):
     roof = max(bytes_moved / (HBM_GBPS * 1e9),
                flops / (PEAK_F32_GFLOPS * 1e9))
-    print(json.dumps({
-        "metric": f"kernel:{name}", "value": round(dt * 1e3, 3),
-        "unit": "ms", "roofline_ms": round(roof * 1e3, 3),
-        "efficiency": round(roof / dt, 3)}), flush=True)
+    net = scan_s - _SCAN_FLOOR_S
+    line = {"metric": f"kernel:{name}",
+            "value": round(max(net, 0.0) * 1e3, 3),
+            "unit": "ms (scan-in-jit minus harness floor)",
+            "scan_ms": round(scan_s * 1e3, 3),
+            "wall_ms": round(wall_s * 1e3, 3),
+            "roofline_ms": round(roof * 1e3, 3),
+            # below ~50us the subtraction is inside the floor's noise —
+            # report efficiency as null rather than a fabricated number
+            "efficiency": (round(roof / net, 3) if net > 50e-6 else None)}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
 
 
 def kernel_benches(C=128, T=200_000):
@@ -66,106 +124,151 @@ def kernel_benches(C=128, T=200_000):
     from qradiolink_tpu.ops.channelizer import PfbChannelizer
     from qradiolink_tpu.ops.analog import QuadratureDemod
     from qradiolink_tpu.fec.conv_ff import TiledViterbi
-    from qradiolink_tpu.core import put_iq
+    from qradiolink_tpu.chains.fsk import Fsk4DemodFF
+    from qradiolink_tpu.core import IqPair, device_init_state, put_iq, \
+        put_iq_pair
 
     rng = np.random.default_rng(0)
 
-    # 0. dispatch floor: a trivial op — on the tunneled axon chip each
-    # pallas_call/jit dispatch costs ~2-2.5 ms regardless of size, so
-    # single-kernel times sit on this floor; the fused whole-chain
-    # dispatch amortizes it (which is why chains beat kernel sums)
+    # 0. dispatch floor: a trivial op. wall_ms = the tunnel's per-call
+    # round-trip; scan value = per-iteration floor of the scan harness.
+    global _SCAN_FLOOR_S
     xz = jnp.ones((8, 128), jnp.float32)
     f0 = jax.jit(lambda v: v * 1.0001)
-    dt = _time(f0, xz)
-    report("dispatch_floor_noop", dt, bytes_moved=xz.size * 8, flops=xz.size)
+    dt_w = _wall(f0, xz)
+    dt_s = _scan_time(lambda c, x: (c * 1.0001, c), xz, None)
+    report("dispatch_floor_noop", dt_s, dt_w,
+           bytes_moved=xz.size * 8, flops=xz.size)
+    _SCAN_FLOOR_S = dt_s
 
-    # 1. decimating front FIR (1 Msps -> 20 ksps head, 419 taps /50)
+    # 1. decimating front FIR, f32 (1 Msps -> 20 ksps head, 419 taps /50)
+    # — served by the Pallas banded-matmul kernel (ops/pallas_fir.py)
     taps = firdes.low_pass(1.0, 1_000_000, 10_000, 10_000,
                            firdes.WIN_BLACKMAN_HARRIS)
     k = len(taps)
     x = jnp.asarray(rng.standard_normal((C, T + k - 1)).astype(np.float32))
-    f1 = jax.jit(lambda v: conv1d_valid(v, jnp.asarray(taps), stride=50))
-    dt = _time(f1, x)
-    report("decim_fir_1Msps_419t_s50", dt,
+    tj = jnp.asarray(taps)
+
+    def fir_step(c, x):
+        y = conv1d_valid(c, tj, stride=50)
+        from jax import lax
+        return lax.dynamic_update_slice(c, y, (0, 0)), y
+    f1 = jax.jit(lambda v: conv1d_valid(v, tj, stride=50))
+    dt_w = _wall(f1, x)
+    dt_s = _scan_time(fir_step, x, None)
+    report("decim_fir_1Msps_419t_s50", dt_s, dt_w,
            bytes_moved=x.size * 4 + C * (T // 50) * 4,
            flops=2 * C * (T // 50) * k)
+
+    # 1b. the production complex head: IqPair in -> IqPair out through
+    # the tail-streaming kernel (RationalResampler 1/50)
+    from qradiolink_tpu.ops.resample import RationalResampler
+    rs = RationalResampler(1, 50, taps=taps, lead_shape=(C,))
+    s0 = jax.jit(rs.init_state)()
+    xi = put_iq_pair((rng.standard_normal((C, T))
+                      + 1j * rng.standard_normal((C, T)))
+                     .astype(np.complex64))
+    f1b = jax.jit(lambda s, v: rs(s, v))
+    dt_w = _wall(f1b, s0, xi)
+    dt_s = _scan_time(rs, s0, xi)
+    report("decim_head_complex_pair_1Msps", dt_s, dt_w,
+           bytes_moved=2 * C * T * 4 + 2 * C * (T // 50) * 4,
+           flops=2 * 2 * C * (T // 50) * k)
 
     # 2. channel FIR at 20 ksps (55 taps, stride 1) — post-decimation
     t2 = T // 50
     x2 = jnp.asarray(rng.standard_normal((C, t2 + 54)).astype(np.float32))
     taps2 = firdes.low_pass(1.0, 20_000, 3000.0, 1500.0,
                             firdes.WIN_BLACKMAN_HARRIS)
-    f2 = jax.jit(lambda v: conv1d_valid(v, jnp.asarray(taps2), stride=1))
-    dt = _time(f2, x2)
-    report("channel_fir_20k_55t", dt,
+    t2j = jnp.asarray(taps2)
+
+    def fir2_step(c, x):
+        from jax import lax
+        y = conv1d_valid(c, t2j, stride=1)
+        return lax.dynamic_update_slice(c, y, (0, 0)), y
+    f2 = jax.jit(lambda v: conv1d_valid(v, t2j, stride=1))
+    dt_w = _wall(f2, x2)
+    dt_s = _scan_time(fir2_step, x2, None)
+    report("channel_fir_20k_55t", dt_s, dt_w,
            bytes_moved=x2.size * 4 * 2, flops=2 * C * t2 * len(taps2))
 
     # 3. PFB channelizer (10-branch, 250 ksps block)
     B = max(C // 8, 1)
     ch = PfbChannelizer(10, lead_shape=(B,))
-    xc = put_iq((rng.standard_normal((B, 250_000))
-                 + 1j * rng.standard_normal((B, 250_000)))
-                .astype(np.complex64))
+    xc = put_iq_pair((rng.standard_normal((B, 250_000))
+                      + 1j * rng.standard_normal((B, 250_000)))
+                     .astype(np.complex64))
     st = jax.jit(ch.init_state)()
-    f3 = jax.jit(lambda s, v: ch(s, v)[1])
-    dt = _time(f3, st, xc)
-    ntaps = int(np.asarray(ch.taps).size) if hasattr(ch, "taps") else 200
-    report("pfb_channelizer_10br", dt,
-           bytes_moved=xc.size * 8 * 2,
-           flops=8 * xc.size * (ntaps / 10 + np.log2(10)))
+    f3 = jax.jit(lambda s, v: ch(s, v))
+    dt_w = _wall(f3, st, xc)
+    dt_s = _scan_time(ch, st, xc)
+    ntaps = int(np.asarray(ch.branch_taps).size)
+    report("pfb_channelizer_10br", dt_s, dt_w,
+           bytes_moved=B * 250_000 * 8 * 2,
+           flops=8 * B * 250_000 * (ntaps / 10 + np.log2(10)))
 
-    # 4. quadrature demod at 24 ksps x C channels
+    # 4. quadrature demod at 24 ksps x C channels (IqPair path)
     q = QuadratureDemod(1.0, lead_shape=(C,))
-    xq = put_iq((rng.standard_normal((C, 24_000))
-                 + 1j * rng.standard_normal((C, 24_000)))
-                .astype(np.complex64))
+    xq = put_iq_pair((rng.standard_normal((C, 24_000))
+                      + 1j * rng.standard_normal((C, 24_000)))
+                     .astype(np.complex64))
     sq = jax.jit(q.init_state)()
-    f4 = jax.jit(lambda s, v: q(s, v)[1])
-    dt = _time(f4, sq, xq)
-    report("quad_demod_24k", dt, bytes_moved=xq.size * 12,
-           flops=10 * xq.size)
+    f4 = jax.jit(lambda s, v: q(s, v))
+    dt_w = _wall(f4, sq, xq)
+    dt_s = _scan_time(q, sq, xq)
+    report("quad_demod_24k", dt_s, dt_w, bytes_moved=C * 24_000 * 12,
+           flops=10 * C * 24_000)
 
-    # 5. tiled Viterbi (K=7 CCSDS soft decode, 4000 bits x C)
+    # 5. tiled Viterbi (K=7 CCSDS soft decode, 4000 bits x C) — the
+    # single-launch Pallas kernel (fec/viterbi_pallas.py)
     tv = TiledViterbi(lead_shape=(C,))
     soft = jnp.asarray(
         rng.integers(0, 256, (C, 4000, 2)).astype(np.float32))
     sv = jax.jit(tv.init_state)()
-    f5 = jax.jit(lambda s, v: tv(s, v)[1])
-    dt = _time(f5, sv, soft)
+    f5 = jax.jit(lambda s, v: tv(s, v))
+    dt_w = _wall(f5, sv, soft)
+    dt_s = _scan_time(tv, sv, soft)
     # ACS: 64 states x 2 branches x add-compare-select ~ 6 ops/bit
-    report("tiled_viterbi_k7", dt, bytes_moved=soft.size * 5,
+    report("tiled_viterbi_k7", dt_s, dt_w, bytes_moved=soft.size * 5,
            flops=C * 4000 * 64 * 6)
 
 
 def chain_benches(channel_counts=(64, 128, 256), t=200_000):
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from qradiolink_tpu.chains.fsk import Fsk4DemodFF
-    from qradiolink_tpu.core import device_init_state, put_iq
+    from qradiolink_tpu.core import device_init_state, put_iq_pair
 
     rng = np.random.default_rng(0)
     best = (0.0, 0)
     for n_ch in channel_counts:
         chain = Fsk4DemodFF(lead_shape=(n_ch,))
         state = device_init_state(chain)
-        iq = put_iq((rng.standard_normal((n_ch, t))
-                     + 1j * rng.standard_normal((n_ch, t)))
-                    .astype(np.complex64) * 0.1)
-        step = jax.jit(lambda s, x: chain(s, x))
-        fence = jax.jit(
-            lambda o: jnp.sum(o["symbols"]).astype(jnp.float32))
-        st, out = step(state, iq)
-        float(fence(out))
-        t0 = time.perf_counter()
+        iq = put_iq_pair((rng.standard_normal((n_ch, t))
+                          + 1j * rng.standard_normal((n_ch, t)))
+                         .astype(np.complex64) * 0.1)
         n = 10
-        for _ in range(n):
-            st, out = step(st, iq)
-        float(fence(out))
+
+        @jax.jit
+        def scan_n(s, x, chain=chain):
+            def body(c, _):
+                st, out = chain(c, x)
+                return st, jnp.sum(out["symbols"]).astype(jnp.float32)
+            st, vs = lax.scan(body, s, None, length=n)
+            return st, jnp.sum(vs)
+
+        st, v = scan_n(state, iq)
+        _fence(v)
+        t0 = time.perf_counter()
+        st, v = scan_n(st, iq)
+        _fence(v)
         dt = (time.perf_counter() - t0) / n
         msps = n_ch * t / dt / 1e6
         print(json.dumps({
             "metric": f"4FSK_2K chain {n_ch}ch@1Msps", "value": round(msps, 1),
-            "unit": "Msamples/s/chip", "step_ms": round(dt * 1e3, 2),
+            "unit": "Msamples/s/chip (scan-in-jit)",
+            "step_ms": round(dt * 1e3, 2),
             "aggregate_rt_factor": round(msps / n_ch, 2)}), flush=True)
         if msps > best[0]:
             best = (msps, n_ch)

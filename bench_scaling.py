@@ -9,13 +9,19 @@ sharded configurations of SURVEY §2.8:
   (b) time-sharded full digital chain (whole-chain halo exchange via
       ppermute) — sequence parallelism for one high-rate channel.
 
-Efficiency definition: eff(n) = (n * T1) / Tn for weak scaling (ideal
-Tn == n*T1 on shared hardware, == T1 on n real chips; both give
-eff == 1 when the mesh adds no partitioning/collective overhead). On
-this host the mesh is XLA's virtual CPU devices over 2 physical cores,
-so eff(n) isolates the GSPMD + collective overhead — the same harness
-runs unchanged on a real pod where it measures true weak scaling
-(BASELINE target >= 80%).
+HONESTY NOTE (this host cannot measure weak scaling): the mesh is
+XLA's virtual CPU devices over 2 physical cores, so per-device compute
+resources are NOT held constant as n grows and n*T1/Tn says nothing
+about pod behavior — it saturates the cores and reads ~1 regardless.
+What IS measurable here and is reported:
+  * raw step_ms / msps per point (the ground truth),
+  * eff_weak_shared = n*T1/Tn, UNCLIPPED, labeled shared-host-only,
+  * partition_overhead = Tn(sharded) / Tn(same shapes, single device):
+    the GSPMD partitioning + collective cost at identical total work —
+    the one number that transfers to a pod (it bounds the efficiency
+    loss the mesh itself introduces; BASELINE >=80% needs it <= 1.25).
+The same harness runs unchanged on a real pod, where eff_weak becomes
+a true weak-scaling measurement.
 
 Run standalone (JAX_PLATFORMS handled internally, fresh process
 required) or via bench.py which spawns it as a subprocess and forwards
@@ -57,8 +63,11 @@ def _time(fn, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def channel_sharded_point(n: int):
-    """(samples_per_step, step_seconds) for n devices, weak scaling."""
+def channel_sharded_point(n: int, sharded: bool = True):
+    """(samples_per_step, step_seconds) for n devices, weak scaling.
+
+    sharded=False runs the SAME total shapes on one device — the
+    partition-overhead baseline."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -66,7 +75,6 @@ def channel_sharded_point(n: int):
     from qradiolink_tpu.chains.fsk import Fsk4DemodFF
     from qradiolink_tpu.parallel.sharding import make_mesh
 
-    mesh = make_mesh(n, axis="ch")
     n_ch = CH_PER_DEV * n
     chain = Fsk4DemodFF(lead_shape=(n_ch,))
     state = chain.init_state()
@@ -74,15 +82,17 @@ def channel_sharded_point(n: int):
     iq = jnp.asarray((rng.standard_normal((n_ch, T_PER_CH))
                       + 1j * rng.standard_normal((n_ch, T_PER_CH)))
                      .astype(np.complex64) * 0.1)
-    sh = NamedSharding(mesh, P("ch"))
+    if sharded:
+        mesh = make_mesh(n, axis="ch")
+        sh = NamedSharding(mesh, P("ch"))
 
-    def place(t):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sh)
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_ch
-            else x, t)
+        def place(t):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh)
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_ch
+                else x, t)
 
-    state, iq = place(state), jax.device_put(iq, sh)
+        state, iq = place(state), jax.device_put(iq, sh)
     step = jax.jit(lambda s, x: chain(s, x))
     dt = _time(step, state, iq)
     return n_ch * T_PER_CH, dt
@@ -113,9 +123,15 @@ def main(quick: bool = False):
     ns = N_DEVICES[:3] if quick else N_DEVICES
     _setup(max(ns))
     results = {"channel_sharded": [], "time_sharded": [],
-               "host": {"physical_cores": os.cpu_count(),
-                        "note": "virtual CPU mesh; eff(n) = n*T1/Tn "
-                                "isolates GSPMD/collective overhead"}}
+               "host": {
+                   "physical_cores": os.cpu_count(),
+                   "note": "2-core host with a VIRTUAL device mesh: "
+                           "weak scaling is NOT measurable here (see "
+                           "module docstring). step_ms/msps are raw; "
+                           "eff_weak_shared is n*T1/Tn unclipped and "
+                           "shared-host-only; partition_overhead = "
+                           "T(sharded)/T(same work, 1 device) is the "
+                           "transferable GSPMD+collective cost."}}
     for kind, point in (("channel_sharded", channel_sharded_point),
                         ("time_sharded", time_sharded_point)):
         t1 = None
@@ -123,21 +139,30 @@ def main(quick: bool = False):
             samples, dt = point(n)
             if t1 is None:
                 t1 = dt
-            eff = min(1.0, (n * t1) / dt) if n > 1 else 1.0
-            results[kind].append({
+            row = {
                 "devices": n, "samples_per_step": samples,
                 "step_ms": round(dt * 1e3, 2),
                 "msps": round(samples / dt / 1e6, 2),
-                "weak_scaling_eff": round(eff, 3)})
+                "eff_weak_shared_host_only": round((n * t1) / dt, 3),
+            }
+            if kind == "channel_sharded" and n > 1:
+                _, dt1 = channel_sharded_point(n, sharded=False)
+                row["unsharded_same_work_ms"] = round(dt1 * 1e3, 2)
+                row["partition_overhead"] = round(dt / dt1, 3)
+            results[kind].append(row)
     out_path = pathlib.Path(__file__).parent / "SCALING.json"
     out_path.write_text(json.dumps(results, indent=1))
-    worst = min(r["weak_scaling_eff"]
-                for k in ("channel_sharded", "time_sharded")
-                for r in results[k])
+    ovs = [r["partition_overhead"] for r in results["channel_sharded"]
+           if "partition_overhead" in r]
+    worst_ov = max(ovs) if ovs else float("nan")
     print(json.dumps({
-        "metric": "weak-scaling efficiency 1->%d devices (cpu mesh)"
-                  % max(ns),
-        "value": worst, "unit": "fraction", "vs_baseline": worst / 0.8}))
+        "metric": "GSPMD partitioning overhead, channel-sharded "
+                  "1->%d devices (cpu mesh; T_sharded / T_same_work_1dev;"
+                  " weak scaling not measurable pre-pod)" % max(ns),
+        "value": worst_ov, "unit": "x",
+        # <=1.25x partitioning overhead is what a >=80% pod weak-scaling
+        # target tolerates from the mesh itself
+        "vs_baseline": round(1.25 / worst_ov, 2) if ovs else None}))
     return results
 
 

@@ -159,9 +159,10 @@ class MmdvmMultiRx(Block):
         return init_states(self.blocks)
 
     def __call__(self, state, iq):
+        from qradiolink_tpu.core import iq_take
         seq = Sequencer(state)
         chans = seq(self.channelizer, iq)       # (..., 10, T/10)
-        chans = jnp.take(chans, self.port_map, axis=-2)  # (..., C, T/10)
+        chans = iq_take(chans, self.port_map, axis=-2)  # (..., C, T/10)
         x = seq(self.resamp, chans)             # (..., C, T*24/250)
         x = seq(self.chan_filter, x)
         rssi = rssi_dbm(x)

@@ -194,6 +194,14 @@ class IqPair(NamedTuple):
         return jax.lax.complex(self.re, self.im)
 
 
+def iq_take(x, idx, axis: int = -2):
+    """Channel-subset selection that works for complex arrays and IqPair."""
+    if isinstance(x, IqPair):
+        return IqPair(jnp.take(x.re, idx, axis=axis),
+                      jnp.take(x.im, idx, axis=axis))
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
 def put_iq_pair(x) -> IqPair:
     """Transfer complex IQ to the device as an IqPair (two f32 planes).
 

@@ -21,6 +21,7 @@ branch filters g[p::M] -> commutate branches into the output stream.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from qradiolink_tpu.core import Block
@@ -53,44 +54,92 @@ class PfbChannelizer(Block):
         padded = np.zeros(kp * self.M, dtype=np.float32)
         padded[: taps.shape[0]] = taps
         # branch p filter: h[p::M]
-        self.branch_taps = jnp.asarray(
-            np.stack([padded[p::self.M] for p in range(self.M)]))  # (M, kp)
+        bt = np.stack([padded[p::self.M] for p in range(self.M)])  # (M, kp)
+        self.branch_taps = jnp.asarray(bt)
+        # commutator-ordered rows: row q filters with branch p = M-1-q
+        self.branch_taps_q = jnp.asarray(bt[::-1].copy())
         self.kp = kp
         self.lead_shape = tuple(lead_shape)
 
     def init_state(self):
-        hist = jnp.zeros(self.lead_shape + (self.M - 1,), jnp.complex64)
-        tails = jnp.zeros(self.lead_shape + (self.M, self.kp - 1), jnp.complex64)
+        # f32 (re, im) planes — no complex64 in the hot path (see
+        # core.IqPair: every complex op on the axon TPU pays a multi-ms
+        # representation shim)
+        hist = jnp.zeros(self.lead_shape + (2, self.M - 1), jnp.float32)
+        tails = jnp.zeros(self.lead_shape + (2, self.M, self.kp - 1),
+                          jnp.float32)
         return (hist, tails)
 
+    def _plane(self, hist_p, tails_p, xp):
+        """One plane through commutate + branch FIR.
+
+        Branch rows come out in COMMUTATOR order q (row q carries
+        x[t*M + q - (M-1)], i.e. polyphase branch p = M-1-q); the flip
+        that the textbook formulation applies to the whole input stream
+        is folded into the branch-tap row order and the IDFT matrix
+        instead — zero runtime cost on the hot path."""
+        T = xp.shape[-1]
+        z = jnp.concatenate([hist_p, xp], axis=-1)  # z[i] = x[i-(M-1)]
+        u = z[..., :T].reshape(xp.shape[:-1] + (T // self.M, self.M))
+        u = jnp.moveaxis(u, -1, -2)  # (..., M rows q, T/M)
+        uc = jnp.concatenate([tails_p, u], axis=-1)
+        w = _branch_fir(uc, self.branch_taps_q)  # row q = v_{M-1-q}
+        return (z[..., z.shape[-1] - (self.M - 1):],
+                uc[..., uc.shape[-1] - (self.kp - 1):], w)
+
+    def _idft_mats(self):
+        # channel k demodulates +k*fs/M: y_k = sum_p e^{+2pi i k p/M} v_p
+        # — the M-point IDFT (scaled by M) across branches, expressed as
+        # two real (M, M) matmuls over the q-ordered rows so IqPair
+        # planes never touch complex64
+        k = np.arange(self.M)
+        w = np.exp(2j * np.pi * np.outer(k, k) / self.M)
+        wq = w[:, ::-1]  # column q multiplies v_{M-1-q}
+        return (jnp.asarray(np.ascontiguousarray(wq.real, np.float32)),
+                jnp.asarray(np.ascontiguousarray(wq.imag, np.float32)))
+
     def __call__(self, state, x):
+        from qradiolink_tpu.core import IqPair
         hist, tails = state
         T = x.shape[-1]
         if T % self.M != 0:
             raise ValueError(f"block length {T} not a multiple of M={self.M}")
-        z = jnp.concatenate([hist, x], axis=-1)  # z[i] = x[i-(M-1)]
-        # u[p, t] = x[t*M - p] = z[:T].reshape(T/M, M) flipped on last axis
-        u = z[..., :T].reshape(x.shape[:-1] + (T // self.M, self.M))
-        u = jnp.flip(u, axis=-1)
-        u = jnp.moveaxis(u, -1, -2)  # (..., M, T/M)
-        uc = jnp.concatenate([tails, u], axis=-1)
-        # per-branch FIR: vmap over the branch axis via batched conv
-        v = _branch_fir(uc, self.branch_taps)
-        # channel k demodulates +k*fs/M: y_k = sum_p e^{+2pi i k p/M} v_p,
-        # i.e. an IDFT (scaled by M) across the branch axis
+        wr, wi = self._idft_mats()
+        if isinstance(x, IqPair):
+            hr, tr, vr = self._plane(hist[..., 0, :], tails[..., 0, :, :],
+                                     x.re)
+            hi, ti, vi = self._plane(hist[..., 1, :], tails[..., 1, :, :],
+                                     x.im)
+            yr = jnp.einsum("kq,...qt->...kt", wr, vr) \
+                - jnp.einsum("kq,...qt->...kt", wi, vi)
+            yi = jnp.einsum("kq,...qt->...kt", wr, vi) \
+                + jnp.einsum("kq,...qt->...kt", wi, vr)
+            new_state = (jnp.stack([hr, hi], axis=-2),
+                         jnp.stack([tr, ti], axis=-3))
+            return new_state, IqPair(yr, yi)
+        hist_c = jax.lax.complex(hist[..., 0, :], hist[..., 1, :])
+        tails_c = jax.lax.complex(tails[..., 0, :, :], tails[..., 1, :, :])
+        new_hist, new_tails, w = self._plane(hist_c, tails_c, x)
+        v = jnp.flip(w, axis=-2)  # back to polyphase order p for the fft
         y = jnp.fft.ifft(v, axis=-2) * self.M
-        new_hist = z[..., z.shape[-1] - (self.M - 1):]
-        new_tails = uc[..., uc.shape[-1] - (self.kp - 1):]
-        return (new_hist, new_tails), y.astype(jnp.complex64)
+        new_state = (jnp.stack([new_hist.real, new_hist.imag], axis=-2),
+                     jnp.stack([new_tails.real, new_tails.imag], axis=-3))
+        return new_state, y.astype(jnp.complex64)
 
 
 def _branch_fir(u: jnp.ndarray, branch_taps: jnp.ndarray) -> jnp.ndarray:
-    """u (..., M, Tb + kp - 1) convolved per-branch with (M, kp) taps, VALID."""
+    """u (..., M, Tb + kp - 1) convolved per-branch with (M, kp) taps,
+    VALID — as kp batched slice-MAC terms over the whole (M, Tb) slab
+    (one fused elementwise loop) instead of M separate convolutions
+    (which cost M kernel launches each on this backend)."""
     M, kp = branch_taps.shape
-    outs = []
-    for p in range(M):
-        outs.append(conv1d_valid(u[..., p, :], branch_taps[p]))
-    return jnp.stack(outs, axis=-2)
+    tb = u.shape[-1] - (kp - 1)
+    tf = branch_taps[:, ::-1]  # conv flips taps
+    acc = None
+    for k in range(kp):
+        term = u[..., :, k:k + tb] * tf[:, k][..., :, None]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 class PfbSynthesizer(Block):

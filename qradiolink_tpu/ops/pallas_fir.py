@@ -47,7 +47,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # bit-comparable to the f32 jnp path (~3e-7 rel); HIGH (bf16x3) is
 # ~1e-6 and twice the MXU throughput.
 MATMUL_PRECISION = "highest"
-_MIN_ELEMS = 1 << 23  # below this a fused XLA loop beats the launch cost
+_MIN_ELEMS = 1 << 22  # below this a fused XLA loop beats the launch cost
 _LANE = 128
 
 

@@ -47,15 +47,21 @@ def rssi_dbm(x, cal_offset_db: float = 0.0) -> jnp.ndarray:
     return 10.0 * jnp.log10(p + 1e-20) + cal_offset_db
 
 
-def rssi_dbm_slots(x: jnp.ndarray, slot_len: int = 720,
+def rssi_dbm_slots(x, slot_len: int = 720,
                    cal_offset_db: float = 0.0) -> jnp.ndarray:
     """Per-burst RSSI: one dB value per slot_len-sample window (the
     reference's rssi_tag_block tags every 720-sample MMDVM burst,
     src/gr/rssi_tag_block.cpp). Trailing samples short of a full slot
-    are dropped. Returns (..., T // slot_len)."""
-    n = (x.shape[-1] // slot_len) * slot_len
-    w = x[..., :n].reshape(*x.shape[:-1], n // slot_len, slot_len)
-    p = jnp.mean(w.real**2 + w.imag**2, axis=-1)
+    are dropped. Accepts complex arrays or core.IqPair.
+    Returns (..., T // slot_len)."""
+    from qradiolink_tpu.core import IqPair
+    if isinstance(x, IqPair):
+        pw = x.re * x.re + x.im * x.im
+    else:
+        pw = x.real**2 + x.imag**2
+    n = (pw.shape[-1] // slot_len) * slot_len
+    w = pw[..., :n].reshape(*pw.shape[:-1], n // slot_len, slot_len)
+    p = jnp.mean(w, axis=-1)
     return 10.0 * jnp.log10(p + 1e-20) + cal_offset_db
 
 

@@ -39,9 +39,14 @@ class PowerSquelch(Block):
         return (z, z)  # avg power, previous envelope value
 
     def __call__(self, state, x):
+        from qradiolink_tpu.core import IqPair
         avg0, env_prev = state
-        p = (x.real * x.real + x.imag * x.imag).astype(jnp.float32) \
-            if jnp.iscomplexobj(x) else (x * x).astype(jnp.float32)
+        pair = isinstance(x, IqPair)
+        if pair:
+            p = x.re * x.re + x.im * x.im
+        else:
+            p = (x.real * x.real + x.imag * x.imag).astype(jnp.float32) \
+                if jnp.iscomplexobj(x) else (x * x).astype(jnp.float32)
         avg = linear_recurrence(jnp.asarray(1.0 - self.alpha, jnp.float32),
                                 self.alpha * p, avg0)
         gate = (avg >= self.threshold).astype(jnp.float32)
@@ -53,7 +58,10 @@ class PowerSquelch(Block):
                                     beta * gate, env_prev)
         else:
             env = gate
-        y = x * env.astype(x.real.dtype)
+        if pair:
+            y = IqPair(x.re * env, x.im * env)
+        else:
+            y = x * env.astype(x.real.dtype)
         return (avg[..., -1], env[..., -1]), y
 
 

@@ -167,12 +167,13 @@ class MultichannelRx:
                 tuple(c.init_state() for c, _ in self.groups))
 
     def __call__(self, state, iq):
+        from qradiolink_tpu.core import iq_take
         ch_state, g_states = state
         ch_state, chans = self.channelizer(ch_state, iq)  # (M, T/M)
         new_g = []
         outs = []
         for (chain, idxs), gs in zip(self.groups, g_states):
-            x = chans[..., idxs, :]
+            x = iq_take(chans, idxs, axis=-2)
             gs, out = chain(gs, x)
             new_g.append(gs)
             outs.append(out)
@@ -193,12 +194,13 @@ class MultichannelRx:
                 return tree
 
         def step(state, iq):
+            from qradiolink_tpu.core import iq_take
             ch_state, g_states = state
             ch_state, chans = self.channelizer(ch_state, iq)
             new_g = []
             outs = []
             for (chain, idxs), gs in zip(self.groups, g_states):
-                x = constrain(chans[..., idxs, :])
+                x = constrain(iq_take(chans, idxs, axis=-2))
                 gs, out = chain(constrain(gs), x)
                 new_g.append(gs)
                 outs.append(out)

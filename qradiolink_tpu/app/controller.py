@@ -253,7 +253,12 @@ class RadioController:
                     n = (len(val) // 8) * 8
                     try:
                         pcm = self._codec.decode_dmr(val[:n]) if n else None
-                    except Exception:
+                    except Exception as e:
+                        # the reference logs vocoder failures rather than
+                        # dropping them silently (radiocontroller decode
+                        # dispatch) — a systematically corrupt payload
+                        # must be visible in the log
+                        self.log.error("DMR voice decode failed: %s", e)
                         pcm = None
                 if pcm is not None and pcm.size:
                     audio = pcm.astype(np.float32) / 32767.0 \
@@ -439,7 +444,8 @@ class RadioController:
                     # wideband digital voice (radiocontroller.cpp:1462)
                     try:
                         pcm = self._codec.decode_opus(bytes(payload))
-                    except Exception:
+                    except Exception as e:
+                        self.log.error("Opus decode failed: %s", e)
                         pcm = np.zeros(0, np.int16)
                 else:
                     rate = codec[1]
@@ -478,7 +484,9 @@ class RadioController:
         """Process one IQ block through the chain + framing dispatch."""
         if self._rx is None:
             self.toggle_rx_mode(self.settings.rx_mode)
-        iq = jnp.asarray(iq)
+        from qradiolink_tpu.core import IqPair
+        if not isinstance(iq, IqPair):
+            iq = jnp.asarray(iq)
         if self._rotator is not None:
             self._rot_state, iq = self._rotator(self._rot_state, iq)
         self._rx_state, out = self._rx(self._rx_state, iq)

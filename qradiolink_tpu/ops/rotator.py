@@ -45,9 +45,16 @@ class Rotator(Block):
         coarse = (4096 * inc) % (2.0 * np.pi)
         ramp = jnp.mod(q * coarse + r * inc, 2.0 * np.pi).astype(jnp.float32)
         ph = state[..., None] + ramp
-        w = jnp.exp(1j * ph).astype(jnp.complex64)
-        y = x * w
         # advance carried phase exactly using Python-float (double) mod
         block_adv = (t * inc) % (2.0 * np.pi)
         new_phase = jnp.mod(state + jnp.float32(block_adv), 2.0 * jnp.pi)
+        from qradiolink_tpu.core import IqPair
+        if isinstance(x, IqPair):
+            # complex-free plane rotation (1 Msps hot path; see
+            # core.IqPair for why complex64 is avoided on this backend)
+            c, s = jnp.cos(ph), jnp.sin(ph)
+            return new_phase, IqPair(x.re * c - x.im * s,
+                                     x.re * s + x.im * c)
+        w = jnp.exp(1j * ph).astype(jnp.complex64)
+        y = x * w
         return new_phase, y

@@ -66,7 +66,18 @@ def rssi_dbm_slots(x, slot_len: int = 720,
 
 
 class RssiProbe(Block):
-    """Streaming RSSI: moving average then single-pole IIR, per block output."""
+    """Streaming RSSI with the reference's exact per-sample semantics
+    (reference src/gr/rssi_block.cpp:25-50): mag^2 -> moving SUM over
+    2000 samples (gr::blocks::moving_average_ff(2000, scale=1) — note
+    scale 1, i.e. a windowed SUM whose +33 dB gain the calibration
+    offset absorbs) -> per-sample single-pole IIR(alpha=0.04) ->
+    10*log10 -> + cal.
+
+    Vectorized: the windowed sum is a cumsum difference over
+    [carried 1999-sample history | block]; the IIR is one first-order
+    linear recurrence (parallel scan). Returns the full per-sample dB
+    stream like the reference block; callers polling a probe take the
+    last sample. State: (power history (avg_len-1,), iir value)."""
 
     def __init__(self, avg_len: int = 2000, alpha: float = 0.04,
                  cal_offset_db: float = 0.0, lead_shape: tuple = ()):
@@ -76,13 +87,32 @@ class RssiProbe(Block):
         self.lead_shape = tuple(lead_shape)
 
     def init_state(self):
-        return jnp.zeros(self.lead_shape, dtype=jnp.float32)
+        return (jnp.zeros(self.lead_shape + (self.avg_len - 1,),
+                          jnp.float32),
+                jnp.zeros(self.lead_shape, jnp.float32))
 
     def __call__(self, state, x):
-        p = x.real**2 + x.imag**2
-        # blockwise moving average approximation: mean over trailing window
-        seg = p[..., -min(self.avg_len, p.shape[-1]):]
-        m = jnp.mean(seg, axis=-1)
-        smoothed = (1.0 - self.alpha) * state + self.alpha * m
-        db = 10.0 * jnp.log10(smoothed + 1e-20) + self.cal
-        return smoothed, db
+        from qradiolink_tpu.core import IqPair
+        from qradiolink_tpu.ops.iir import linear_recurrence
+        hist, y0 = state
+        if isinstance(x, IqPair):
+            p = x.re * x.re + x.im * x.im
+        elif jnp.iscomplexobj(x):
+            p = (x.real**2 + x.imag**2).astype(jnp.float32)
+        else:
+            p = (x * x).astype(jnp.float32)
+        T = p.shape[-1]
+        pc = jnp.concatenate([hist, p], axis=-1)  # (..., L-1+T)
+        cs = jnp.cumsum(pc, axis=-1)
+        # ma[t] = sum of pc[t .. t+L-1] for t in [0, T)
+        L = self.avg_len
+        hi = cs[..., L - 1:]
+        lo = jnp.concatenate([jnp.zeros_like(cs[..., :1]),
+                              cs[..., : T - 1]], axis=-1) \
+            if T > 1 else jnp.zeros_like(cs[..., :1])
+        ma = hi - lo
+        y = linear_recurrence(jnp.asarray(1.0 - self.alpha, jnp.float32),
+                              self.alpha * ma, y0)
+        db = 10.0 * jnp.log10(y + 1e-20) + self.cal
+        new_hist = pc[..., pc.shape[-1] - (L - 1):]
+        return (new_hist, y[..., -1]), db

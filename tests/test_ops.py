@@ -186,3 +186,54 @@ def test_rssi_dbm():
     x = np.full(1000, 0.1 + 0j, np.complex64)
     db = float(rssi_dbm(jnp.asarray(x)))
     assert abs(db - (-20.0)) < 0.1
+
+
+def test_rssi_probe_matches_reference_step_response(rng):
+    """RssiProbe vs a direct per-sample simulation of the reference
+    pipeline (rssi_block.cpp:25-50: mag^2 -> moving SUM 2000 -> IIR
+    alpha=0.04 -> 10log10 + cal) — exact at every sample, across
+    uneven block splits, through a power step (squelch-latency
+    semantics)."""
+    from qradiolink_tpu.ops.spectrum import RssiProbe
+
+    L, alpha, cal = 200, 0.04, -30.0   # shorter window, same structure
+    T = 1000
+    amp = np.where(np.arange(T) < 400, 0.01, 0.5)  # power step at t=400
+    x = (amp * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+         ).astype(np.complex64)
+
+    # reference-style per-sample simulation
+    p = np.abs(x) ** 2
+    hist = np.zeros(L)
+    y = 0.0
+    ref = np.zeros(T)
+    for t in range(T):
+        hist = np.roll(hist, -1)
+        hist[-1] = p[t]
+        ma = hist.sum()
+        y = (1 - alpha) * y + alpha * ma
+        ref[t] = 10 * np.log10(y + 1e-20) + cal
+
+    probe = RssiProbe(avg_len=L, alpha=alpha, cal_offset_db=cal)
+    st = probe.init_state()
+    out = []
+    for a, b in ((0, 123), (123, 400), (400, 401), (401, T)):  # uneven blocks
+        st, db = probe(st, jnp.asarray(x[a:b]))
+        out.append(np.asarray(db))
+    got = np.concatenate(out)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_rotator_pair_matches_complex(rng):
+    from qradiolink_tpu.core import IqPair
+    from qradiolink_tpu.ops.rotator import Rotator
+
+    x = (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)) \
+        .astype(np.complex64)
+    rot = Rotator.from_offset(12_345.0, 1_000_000.0)
+    st0 = rot.init_state()
+    st_c, y_c = rot(st0, jnp.asarray(x))
+    st_p, y_p = rot(st0, IqPair(jnp.asarray(x.real), jnp.asarray(x.imag)))
+    np.testing.assert_allclose(np.asarray(y_p.to_complex()),
+                               np.asarray(y_c), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p), np.asarray(st_c))

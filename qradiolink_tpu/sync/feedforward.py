@@ -108,19 +108,32 @@ def om_timing_estimate(x: jax.Array, sps: int, n_sub: int = 4) -> jax.Array:
     """Oerder&Meyr: per-sub-block symbol-timing offset in samples [0, sps).
 
     tau = -sps/(2*pi) * arg( sum_n |x[n]|^2 exp(-j 2 pi n / sps) ) — one
-    DFT bin evaluated as a dot product with a precomputed exponential.
+    DFT bin evaluated as two REAL dot products against precomputed
+    cos/sin vectors (complex64 arithmetic costs multi-ms representation
+    shims on the axon TPU; see core.IqPair).
     """
     t = x.shape[-1]
     lead = x.shape[:-1]
     ls = t // n_sub
-    p = (jnp.abs(x) ** 2).reshape(lead + (n_sub, ls))
+    if jnp.iscomplexobj(x):
+        p = (x.real * x.real + x.imag * x.imag).astype(jnp.float32)
+    else:
+        p = (x * x).astype(jnp.float32)
+    p = p.reshape(lead + (n_sub, ls))
     n = np.arange(ls, dtype=np.float64)
-    w = np.exp(-2j * np.pi * n / sps).astype(np.complex64)
+    ang = -2 * np.pi * n / sps
+    wc = jnp.asarray(np.cos(ang).astype(np.float32))
+    ws = jnp.asarray(np.sin(ang).astype(np.float32))
     # sub-block start offsets shift the reference phase; compensate
     starts = np.arange(n_sub, dtype=np.float64) * ls
-    w0 = np.exp(-2j * np.pi * starts / sps).astype(np.complex64)
-    s = (p.astype(jnp.complex64) @ w) * w0
-    tau = (-float(sps) / (2 * np.pi)) * jnp.arctan2(s.imag, s.real)
+    a0 = -2 * np.pi * starts / sps
+    w0c = jnp.asarray(np.cos(a0).astype(np.float32))
+    w0s = jnp.asarray(np.sin(a0).astype(np.float32))
+    sr = p @ wc
+    si = p @ ws
+    re = sr * w0c - si * w0s
+    im = sr * w0s + si * w0c
+    tau = (-float(sps) / (2 * np.pi)) * jnp.arctan2(im, re)
     return jnp.mod(tau, float(sps))  # (..., n_sub)
 
 
@@ -199,7 +212,8 @@ class FeedforwardSymbolSync(Block):
         self.tail_len = 4
 
     def init_state(self):
-        return jnp.zeros(self.lead_shape + (self.tail_len,), jnp.complex64)
+        # f32 (re, im) tail planes (see core.IqPair for the complex64 tax)
+        return jnp.zeros(self.lead_shape + (2, self.tail_len), jnp.float32)
 
     def __call__(self, state, x):
         sps = self.sps
@@ -211,9 +225,11 @@ class FeedforwardSymbolSync(Block):
             s = x.shape[-1] // self.window
         else:
             s = self.n_sub
-        xc = jnp.concatenate([state.astype(x.dtype)
-                              if jnp.iscomplexobj(x)
-                              else state.real.astype(x.dtype), x], axis=-1)
+        if jnp.iscomplexobj(x):
+            tail_x = jax.lax.complex(state[..., 0, :], state[..., 1, :])
+        else:
+            tail_x = state[..., 0, :].astype(x.dtype)
+        xc = jnp.concatenate([tail_x, x], axis=-1)
         t = x.shape[-1]
         lead = x.shape[:-1]
         assert t % (s * sps) == 0, "block must divide into n_sub*sps"
@@ -233,5 +249,11 @@ class FeedforwardSymbolSync(Block):
         ysub = y.reshape(lead + (s, ls))
         syms = symbol_pick(ysub, tau_i, sps)            # (..., s, ls/sps)
         syms = syms.reshape(lead + (t // sps,))
-        new_tail = xc[..., xc.shape[-1] - self.tail_len:].astype(jnp.complex64)
-        return new_tail, syms
+        new_tail = xc[..., xc.shape[-1] - self.tail_len:]
+        if jnp.iscomplexobj(new_tail):
+            new_state = jnp.stack([new_tail.real, new_tail.imag], axis=-2)
+        else:
+            new_tail = new_tail.astype(jnp.float32)
+            new_state = jnp.stack([new_tail, jnp.zeros_like(new_tail)],
+                                  axis=-2)
+        return new_state, syms

@@ -95,6 +95,10 @@ class RadioController:
             self.set_carrier_offset(self.settings.demod_offset)
             if spec.kind == "mmdvm":
                 self._ensure_mmdvm_session(mode)
+            elif getattr(self, "_mmdvm", None) is not None:
+                # leaving an MMDVM mode releases the ZMQ transport
+                self._mmdvm.close()
+                self._mmdvm = None
         except Exception as e:
             self._rx = None
             self._rx_state = None

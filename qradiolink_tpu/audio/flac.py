@@ -145,8 +145,12 @@ def write_flac(path, samples: np.ndarray, rate: int = 8000) -> None:
             bw.write(0, 1)
             bw.write(0b000001, 6)       # VERBATIM
             bw.write(0, 1)
-            for v in blk:
-                bw.write(int(v) & 0xFFFF, 16)
+            # mono 16-bit keeps the stream byte-aligned here: the frame
+            # header is whole bytes, CRC-8 is one byte, the subframe
+            # header is one byte — so the sample payload is written as
+            # one big-endian int16 block instead of a per-sample bit loop
+            assert bw.nbits == 0
+            bw.buf += blk.astype(">i2").tobytes()
         bw.pad_to_byte()
         frame = bw.bytes()
         frame += struct.pack(">H", _crc16(frame))

@@ -31,6 +31,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from qradiolink_tpu.config import Settings, RadioChannels
+from qradiolink_tpu.core import get_iq
 from qradiolink_tpu.logger import get_logger
 from qradiolink_tpu.models.registry import get_mode, rx_chain, tx_chain
 from qradiolink_tpu.framing.layer1 import (
@@ -216,7 +217,7 @@ class RadioController:
             mask = mask[..., idx]
         self._tx_state, out = self._tx(
             self._tx_state, jnp.asarray(audio), mask=jnp.asarray(mask))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def _dmr_stack(self):
         """Lazy DMR call stack (DmrControl + stream glue) — the
@@ -327,7 +328,7 @@ class RadioController:
         if self._tx is None or self._tx_mode != "M17":
             self.toggle_tx_mode("M17")
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(bits))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def tx_dmr_audio_block(self, pcm: np.ndarray):
         """DMR voice TX: 8 kHz PCM -> slot-aligned burst IQ (or None
@@ -364,7 +365,7 @@ class RadioController:
             self.toggle_tx_mode("DMR")
         self._tx_state, out = self._tx(
             self._tx_state, jnp.asarray(bits), mask=jnp.asarray(mask))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def attach_recorder(self, recorder):
         """RX audio events also append to an audio.recorder.AudioRecorder
@@ -674,7 +675,7 @@ class RadioController:
                 np.frombuffer(data, np.uint8)))
         self._tx_sample_time += pcm.size / 8000.0
         self._check_tot()
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def frame_voice(self, codec_bytes: bytes) -> bytes:
         """codec frames -> layer-1 framed byte stream."""
@@ -701,7 +702,7 @@ class RadioController:
         data += self._framer.end_frame()
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
             np.frombuffer(data, np.uint8)))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def tx_video_frame(self, rgb) -> np.ndarray:
         """One camera frame -> QPSKVideo IQ (reference
@@ -716,7 +717,7 @@ class RadioController:
         data = self._framer.frame(frame, FrameType.VIDEO)
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
             np.frombuffer(data, np.uint8)))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def tx_net_poll(self, pump, dt: float = 0.05):
         """One net-pump TX tick (reference processInputNetStream,
@@ -730,7 +731,7 @@ class RadioController:
         data = self._framer.frame(frame, FrameType.IP)
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
             np.frombuffer(data, np.uint8)))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     def tx_bytes(self, data: bytes) -> np.ndarray:
         """Raw framed bytes -> IQ (digital modes)."""
@@ -738,7 +739,7 @@ class RadioController:
             self.toggle_tx_mode(self.settings.tx_mode)
         self._tx_state, out = self._tx(self._tx_state, jnp.asarray(
             np.frombuffer(data, np.uint8)))
-        return np.asarray(out["iq"]) * self.settings.bb_gain
+        return get_iq(out["iq"]) * self.settings.bb_gain
 
     # ---------------------------------------------------------------- scan
     def scan_memory_channels(self, channels: RadioChannels, iq_source,

@@ -220,6 +220,31 @@ def put_iq_pair(x) -> IqPair:
     return IqPair(r, i)
 
 
+def get_iq(x):
+    """Fetch IQ to the host as numpy complex64.
+
+    Device->host transfer of complex64 is UNIMPLEMENTED on the axon TPU
+    backend (like the host->device direction put_iq works around), so a
+    complex device array is split on-device by a jitted program and the
+    two float32 planes are fetched instead. IqPair and numpy inputs pass
+    straight through."""
+    import numpy as np
+
+    if isinstance(x, IqPair):
+        return (np.asarray(x.re) + 1j * np.asarray(x.im))             .astype(np.complex64)
+    if isinstance(x, np.ndarray):
+        return x
+    if hasattr(x, "dtype") and jnp.iscomplexobj(x):
+        r, i = _split_iq(x)
+        return (np.asarray(r) + 1j * np.asarray(i)).astype(np.complex64)
+    return np.asarray(x)
+
+
+@jax.jit
+def _split_iq(c: Array):
+    return c.real, c.imag
+
+
 def put_iq(x) -> Array:
     """Transfer a complex IQ array to the default device.
 

@@ -280,7 +280,47 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IP-over-radio TAP device + pump")
     h.add_argument("--net-ip", default="10.0.1.2")
     h.set_defaults(fn=cmd_headless)
+
+    mp = sub.add_parser(
+        "mmdvm-proxy",
+        help="UDP audio <-> MMDVM ZeroMQ bridge (reference --mmdvm --udp "
+             "mode, src/zeromqclient.cpp)")
+    mp.add_argument("--udp-listen-port", type=int, default=4942)
+    mp.add_argument("--udp-send-port", type=int, default=4941)
+    mp.add_argument("--udp-host", default="127.0.0.1")
+    mp.add_argument("--channel", type=int, default=1,
+                    help="MMDVM ipc channel number (zmq_proxy_channel)")
+    mp.add_argument("--ticks", type=int, default=0,
+                    help="pump iterations (0 = run until interrupted)")
+    mp.set_defaults(fn=cmd_mmdvm_proxy)
     return p
+
+
+def cmd_mmdvm_proxy(args) -> int:
+    """The reference's `--mmdvm --udp` service mode: bridge MMDVMHost's
+    ZeroMQ ipc baseband sockets to UDP datagrams."""
+    import time as _time
+
+    from qradiolink_tpu.io.zmq_proxy import ZmqUdpProxy
+
+    proxy = ZmqUdpProxy(
+        udp_listen_port=args.udp_listen_port,
+        udp_send_port=args.udp_send_port,
+        udp_host=args.udp_host,
+        rx_path=f"ipc:///tmp/mmdvm-rx{args.channel}.ipc",
+        tx_path=f"ipc:///tmp/mmdvm-tx{args.channel}.ipc")
+    try:
+        n = 0
+        while args.ticks == 0 or n < args.ticks:
+            fwd, back = proxy.pump()
+            if not (fwd or back):
+                _time.sleep(0.005)
+            n += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        proxy.close()
+    return 0
 
 
 def main(argv=None) -> int:

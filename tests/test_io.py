@@ -369,3 +369,19 @@ def test_mmdvm_full_transport_loop(tmp_path):
     snr = 10 * np.log10(sig / (noise + 1e-12))
     assert snr > 20.0, f"full-loop tone SNR {snr:.1f} dB"
     pub.close(); poller.close(); pull.close(0); rep.close(0)
+
+
+def test_cli_mmdvm_proxy_subcommand(tmp_path, monkeypatch):
+    """The reference --mmdvm --udp service mode is CLI-reachable."""
+    pytest.importorskip("zmq")
+    from qradiolink_tpu.app.cli import main as cli_main
+    # run a few pump ticks against nothing (sockets bind/connect, no
+    # traffic) — exercises wiring + clean shutdown
+    monkeypatch.setattr("qradiolink_tpu.io.zmq_proxy.ZmqUdpProxy.__init__",
+                        lambda self, **kw: setattr(self, "_n", 0) or None)
+    monkeypatch.setattr("qradiolink_tpu.io.zmq_proxy.ZmqUdpProxy.pump",
+                        lambda self: (0, 0))
+    monkeypatch.setattr("qradiolink_tpu.io.zmq_proxy.ZmqUdpProxy.close",
+                        lambda self: None)
+    rc = cli_main(["mmdvm-proxy", "--ticks", "3"])
+    assert rc == 0

@@ -218,19 +218,29 @@ def test_mmdvm_per_slot_rssi():
 def test_audio_recorder(tmp_path):
     import numpy as np
     from qradiolink_tpu.audio.recorder import AudioRecorder
+    from qradiolink_tpu.audio.flac import read_flac
     from qradiolink_tpu.io.wav import read_wav
+    # default format is FLAC, matching the reference's libsndfile FLAC
+    # recording (audiorecorder.cpp:24,39)
     rec = AudioRecorder(tmp_path)
     assert not rec.recording
     p = rec.start("testrec")
+    assert p.suffix == ".flac"
     t = np.arange(8000) / 8000.0
     tone = (0.5 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
     rec.write(tone)
     rec.write(tone)
     out = rec.stop()
     assert out == p and not rec.recording
-    samples, rate = read_wav(out)
+    samples, rate = read_flac(out)
     assert rate == 8000 and samples.size == 16000
-    assert abs(np.abs(samples).max() - 0.5) < 0.01
+    assert abs(np.abs(samples).max() / 32767.0 - 0.5) < 0.01
+    # WAV format still available
+    rec = AudioRecorder(tmp_path, fmt="wav")
+    rec.start("testrec2")
+    rec.write(tone)
+    samples, rate = read_wav(rec.stop())
+    assert rate == 8000 and samples.size == 8000
 
 
 def test_zmq_udp_proxy(tmp_path):

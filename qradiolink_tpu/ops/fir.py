@@ -285,10 +285,22 @@ class FirFilter(Block):
                 new_state = jnp.stack([x.re[..., T - (k - 1):],
                                        x.im[..., T - (k - 1):]], axis=-2)
                 return new_state, IqPair(yr, yi)
-        # plane-wise fallback (CPU, small blocks, complex taps)
+        # plane-wise fallback (CPU, small blocks, complex taps); real
+        # taps still try the banded kernel on the explicit concat (the
+        # stream kernel needs G*D >= padded-tail, which stride-1 long
+        # filters like the 251-tap RRC violate)
         xc_re = jnp.concatenate([tail_re, x.re], axis=-1)
         xc_im = jnp.concatenate([tail_im, x.im], axis=-1)
         n_out = (T - 1) // self.decim + 1
+        if not self.complex_taps and self.impl != "fft":
+            yr = pallas_fir.banded_fir(xc_re, self.taps, self.decim,
+                                       out_len=n_out)
+            if yr is not None:
+                yi = pallas_fir.banded_fir(xc_im, self.taps, self.decim,
+                                           out_len=n_out)
+                new_state = jnp.stack([xc_re[..., T:], xc_im[..., T:]],
+                                      axis=-2)
+                return new_state, IqPair(yr, yi)
         if self.complex_taps:
             tr = jnp.real(self.taps)
             ti = jnp.imag(self.taps)

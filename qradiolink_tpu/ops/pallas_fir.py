@@ -48,6 +48,8 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # ~1e-6 and twice the MXU throughput.
 MATMUL_PRECISION = "highest"
 _MIN_ELEMS = 1 << 22  # below this a fused XLA loop beats the launch cost
+_MIN_TAP_OPS = 1 << 27  # ...unless the tap count makes the XLA loop pay
+#                         K sliding-window HBM reads (e.g. 251-tap RRC)
 _LANE = 128
 
 
@@ -65,7 +67,8 @@ def plan(C: int, T: int, K: int, D: int, n_streams: int):
     """
     if C <= 0 or T <= 0 or K <= 0 or D <= 0:
         return None
-    if C * T * n_streams < _MIN_ELEMS:
+    if (C * T * n_streams < _MIN_ELEMS
+            and C * T * K * n_streams < _MIN_TAP_OPS):
         return None
     n_out = (T - K) // D + 1
     if n_out < 2 * _LANE:

@@ -57,7 +57,8 @@ class PfbChannelizer(Block):
         bt = np.stack([padded[p::self.M] for p in range(self.M)])  # (M, kp)
         self.branch_taps = jnp.asarray(bt)
         # commutator-ordered rows: row q filters with branch p = M-1-q
-        self.branch_taps_q = jnp.asarray(bt[::-1].copy())
+        self._btq_np = bt[::-1].copy()
+        self.branch_taps_q = jnp.asarray(self._btq_np)
         self.kp = kp
         self.lead_shape = tuple(lead_shape)
 
@@ -70,8 +71,8 @@ class PfbChannelizer(Block):
                           jnp.float32)
         return (hist, tails)
 
-    def _plane(self, hist_p, tails_p, xp):
-        """One plane through commutate + branch FIR.
+    def _commutate(self, hist_p, tails_p, xp):
+        """One plane through the input commutator.
 
         Branch rows come out in COMMUTATOR order q (row q carries
         x[t*M + q - (M-1)], i.e. polyphase branch p = M-1-q); the flip
@@ -83,9 +84,31 @@ class PfbChannelizer(Block):
         u = z[..., :T].reshape(xp.shape[:-1] + (T // self.M, self.M))
         u = jnp.moveaxis(u, -1, -2)  # (..., M rows q, T/M)
         uc = jnp.concatenate([tails_p, u], axis=-1)
-        w = _branch_fir(uc, self.branch_taps_q)  # row q = v_{M-1-q}
         return (z[..., z.shape[-1] - (self.M - 1):],
-                uc[..., uc.shape[-1] - (self.kp - 1):], w)
+                uc[..., uc.shape[-1] - (self.kp - 1):], uc)
+
+    def _plane(self, hist_p, tails_p, xp):
+        new_hist, new_tails, uc = self._commutate(hist_p, tails_p, xp)
+        w = _branch_fir(uc, self.branch_taps_q)  # row q = v_{M-1-q}
+        return new_hist, new_tails, w
+
+    def _branch_fir_pair(self, ucr, uci):
+        """Both planes' branch FIRs in one Pallas depthwise launch when
+        servable (per-row taps rule out the banded matmul; the jnp
+        slice-MAC form pays kp HBM passes)."""
+        from qradiolink_tpu.ops import pallas_fir
+        tb = ucr.shape[-1] - (self.kp - 1)
+        res = pallas_fir.depthwise_fir((ucr, uci), self._btq_np, tb)
+        if res is None:
+            return _branch_fir(ucr, self.branch_taps_q), \
+                _branch_fir(uci, self.branch_taps_q)
+        (vr, vi), n_main = res
+        if n_main < tb:
+            rest_r = _branch_fir(ucr[..., n_main:], self.branch_taps_q)
+            rest_i = _branch_fir(uci[..., n_main:], self.branch_taps_q)
+            vr = jnp.concatenate([vr, rest_r], axis=-1)
+            vi = jnp.concatenate([vi, rest_i], axis=-1)
+        return vr, vi
 
     def _idft_mats(self):
         # channel k demodulates +k*fs/M: y_k = sum_p e^{+2pi i k p/M} v_p
@@ -106,10 +129,11 @@ class PfbChannelizer(Block):
             raise ValueError(f"block length {T} not a multiple of M={self.M}")
         wr, wi = self._idft_mats()
         if isinstance(x, IqPair):
-            hr, tr, vr = self._plane(hist[..., 0, :], tails[..., 0, :, :],
-                                     x.re)
-            hi, ti, vi = self._plane(hist[..., 1, :], tails[..., 1, :, :],
-                                     x.im)
+            hr, tr, ucr = self._commutate(hist[..., 0, :],
+                                          tails[..., 0, :, :], x.re)
+            hi, ti, uci = self._commutate(hist[..., 1, :],
+                                          tails[..., 1, :, :], x.im)
+            vr, vi = self._branch_fir_pair(ucr, uci)
             yr = jnp.einsum("kq,...qt->...kt", wr, vr) \
                 - jnp.einsum("kq,...qt->...kt", wi, vi)
             yi = jnp.einsum("kq,...qt->...kt", wr, vi) \

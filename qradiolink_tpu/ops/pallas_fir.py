@@ -335,6 +335,139 @@ def banded_fir_stream(tails, xs, taps, stride: int, out_len: int):
     return tuple(y.reshape(lead + (n_main,)) for y in ys), n_main
 
 
+@functools.lru_cache(maxsize=None)
+def depthwise_plan(C: int, Tc: int, kp: int, n_streams: int):
+    """Plan for the per-row-taps (depthwise) stride-1 FIR kernel.
+
+    Used by the PFB channelizer's branch filters: C rows, each with its
+    OWN kp-tap filter (unshared taps rule out the banded matmul). One
+    HBM pass: slabs of TT+pad lanes stream through VMEM and the kp
+    shifted FMAs read from VMEM. Returns (TT, LS, CT, n_c, n_t) or
+    None; the caller must provide input length >= n_t*TT + halo_pad
+    (halo_pad = LS - TT) and computes the remaining outputs itself.
+    """
+    if C <= 0 or Tc <= 0 or kp <= 1 or kp > 512:
+        return None
+    if C * Tc * n_streams < _MIN_ELEMS // 2:
+        return None
+    TT = 2048
+    halo = -(-(kp - 1) // _LANE) * _LANE
+    LS = TT + halo
+    t_valid = Tc - (kp - 1)
+    n_t = t_valid // TT
+    # every slab must fit: (n_t-1)*TT + LS <= Tc
+    while n_t > 0 and (n_t - 1) * TT + LS > Tc:
+        n_t -= 1
+    if n_t < 2:
+        return None
+    for CT in (128, 64, 32, 16, 8):
+        if C % CT != 0:
+            continue
+        vmem = (2 * n_streams * CT * LS + CT * kp
+                + 2 * n_streams * CT * TT) * 4
+        if vmem > _VMEM_BUDGET:
+            continue
+        return (TT, LS, CT, C // CT, n_t)
+    return None
+
+
+def _depthwise_call(xs, taps, TT, LS, CT, n_c, n_t, kp):
+    """xs: tuple of (C, Tc) f32; taps (C, kp) f32.
+    Returns tuple of (C, n_t*TT) f32 outputs."""
+    ns = len(xs)
+    C = xs[0].shape[0]
+
+    def kernel(*refs):
+        x_refs = refs[:ns]
+        t_ref = refs[ns]
+        o_refs = refs[ns + 1: 2 * ns + 1]
+        slabs = refs[2 * ns + 1: 3 * ns + 1]
+        sems = refs[-1]
+        ci = pl.program_id(0)
+        rows = pl.ds(ci * CT, CT)
+
+        def dma(s, jj, sl):
+            off = pl.multiple_of(jj * TT, _LANE)
+            return pltpu.make_async_copy(
+                x_refs[s].at[rows, pl.ds(off, LS)],
+                slabs[s].at[sl], sems.at[s, sl])
+
+        for s in range(ns):
+            dma(s, 0, 0).start()
+
+        def body(j, _):
+            slot = lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_t)
+            def _():
+                for s in range(ns):
+                    dma(s, j + 1, lax.rem(j + 1, 2)).start()
+
+            col = pl.multiple_of(j * TT, _LANE)
+            for s in range(ns):
+                dma(s, j, slot).wait()
+                slab = slabs[s][slot]
+                acc = slab[:, 0:TT] * t_ref[:, 0:1]
+                for k in range(1, kp):
+                    acc = acc + slab[:, k:k + TT] * t_ref[:, k:k + 1]
+                o_refs[s][:, pl.ds(col, TT)] = acc
+            return 0
+
+        lax.fori_loop(0, n_t, body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_c,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ns
+        + [pl.BlockSpec((CT, kp), lambda ci: (ci, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((CT, n_t * TT), lambda ci: (ci, 0),
+                                memory_space=pltpu.VMEM)] * ns,
+        out_shape=[jax.ShapeDtypeStruct((C, n_t * TT), jnp.float32)] * ns,
+        scratch_shapes=[pltpu.VMEM((2, CT, LS), jnp.float32)] * ns
+        + [pltpu.SemaphoreType.DMA((ns, 2))],
+    )(*xs, taps)
+    return out if isinstance(out, (list, tuple)) else (out,)
+
+
+def depthwise_fir(xs, taps, out_len: int):
+    """Per-row-taps VALID FIR, stride 1, flipped-taps convention of
+    conv1d_valid: y[c, m] = sum_k taps[c, k] * x[c, m + kp-1 - k].
+
+    xs: tuple of (..., C, Tc) f32 planes sharing the taps; taps:
+    concrete (C, kp). Returns (ys, n_main) with ys covering outputs
+    [0, n_main) — the caller computes the remainder — or None.
+    """
+    if not available():
+        return None
+    if isinstance(taps, jax.core.Tracer):
+        return None
+    taps_np = np.asarray(taps)
+    if taps_np.ndim != 2 or np.iscomplexobj(taps_np):
+        return None
+    lead = xs[0].shape[:-2]
+    C = xs[0].shape[-2]
+    Tc = xs[0].shape[-1]
+    kp = int(taps_np.shape[-1])
+    if taps_np.shape[0] != C and lead:
+        return None
+    cf = int(np.prod(lead, dtype=np.int64)) * C if lead else C
+    p = depthwise_plan(cf, Tc, kp, len(xs))
+    if p is None:
+        return None
+    TT, LS, CT, n_c, n_t = p
+    n_main = min(n_t * TT, out_len)
+    if n_main < TT:
+        return None
+    tf = np.ascontiguousarray(taps_np[:, ::-1].astype(np.float32))
+    if lead:
+        tf = np.tile(tf, (int(np.prod(lead, dtype=np.int64)), 1))
+    xs2 = tuple(x.reshape((cf, Tc)) for x in xs)
+    ys = _depthwise_call(xs2, jnp.asarray(tf), TT, LS, CT, n_c, n_t, kp)
+    return (tuple(y[:, :n_main].reshape(lead + (C, n_main)) for y in ys),
+            n_main)
+
+
 def extra_pad(C: int, T: int, K: int, D: int, complex_x: bool) -> int:
     """Zero-padding (in samples) a caller should append so the pallas
     path runs copy-free. 0 when the path won't trigger."""

@@ -36,9 +36,11 @@ def pallas_interp(monkeypatch):
     # _MIN_ELEMS takes effect
     pf.plan.cache_clear()
     pf.stream_plan.cache_clear()
+    pf.depthwise_plan.cache_clear()
     yield
     pf.plan.cache_clear()
     pf.stream_plan.cache_clear()
+    pf.depthwise_plan.cache_clear()
 
 
 HEAD_TAPS = firdes.low_pass(1.0, 1_000_000, 10_000, 10_000,
@@ -130,3 +132,27 @@ def test_viterbi_pallas_decodes_real_codewords(pallas_interp, rng):
         CCSDS_K7, jnp.asarray(soft)))[0]
     # interior decisions must match (edges are warmup)
     assert np.array_equal(dec[32:600 - 32], bits[32:600 - 32])
+
+
+def test_depthwise_fir_per_row_taps(pallas_interp, rng):
+    """Per-row-taps depthwise kernel (PFB branch filters) vs per-row
+    numpy convolution."""
+    C, Tb, kp = 8, 6000, 32
+    taps = rng.standard_normal((C, kp)).astype(np.float32)
+    ucr = rng.standard_normal((C, Tb + kp - 1)).astype(np.float32)
+    uci = rng.standard_normal((C, Tb + kp - 1)).astype(np.float32)
+    res = pf.depthwise_fir((jnp.asarray(ucr), jnp.asarray(uci)),
+                           taps, Tb)
+    assert res is not None, "depthwise kernel did not trigger"
+    (vr, vi), n_main = res
+    assert n_main >= 2048
+    for plane, got in ((ucr, vr), (uci, vi)):
+        for c in range(C):
+            ref = np.convolve(plane[c], taps[c], "valid")
+            np.testing.assert_allclose(np.asarray(got)[c], ref[:n_main],
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_plan_rejects_unfit_shapes(pallas_interp):
+    assert pf.depthwise_plan(7, 100_000, 32, 2) is None   # C % CT != 0
+    assert pf.depthwise_plan(8, 3000, 32, 2) is None      # too few tiles

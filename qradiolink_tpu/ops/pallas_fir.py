@@ -449,7 +449,7 @@ def depthwise_fir(xs, taps, out_len: int):
     C = xs[0].shape[-2]
     Tc = xs[0].shape[-1]
     kp = int(taps_np.shape[-1])
-    if taps_np.shape[0] != C and lead:
+    if taps_np.shape[0] != C:
         return None
     cf = int(np.prod(lead, dtype=np.int64)) * C if lead else C
     p = depthwise_plan(cf, Tc, kp, len(xs))

@@ -318,8 +318,9 @@ class Fsk4FbDemod(Block):
         x = seq(self.resamp, iq)
         x = seq(self.chan_filter, x)
         rssi = rssi_dbm(x)
+        from qradiolink_tpu.core import iq_abs
         tones = [seq(f, x) for f in self.tone_bank]
-        mags = jnp.stack([jnp.abs(t) for t in tones], axis=-2)  # (..., 4, T)
+        mags = jnp.stack([iq_abs(t) for t in tones], axis=-2)  # (..., 4, T)
         pts = self.discriminator(mags)                    # (..., T) complex
         pts = seq(self.symbol_filter, pts)
         syms = seq(self.symbol_sync, pts)
@@ -445,8 +446,9 @@ class Fsk2FbDemod(Block):
         x = seq(self.resamp, iq)
         x = seq(self.chan_filter, x)
         rssi = rssi_dbm(x)
-        lo = jnp.abs(seq(self.lower, x))
-        hi = jnp.abs(seq(self.upper, x))
+        from qradiolink_tpu.core import iq_abs
+        lo = iq_abs(seq(self.lower, x))
+        hi = iq_abs(seq(self.upper, x))
         # upper/lower ratio railed to [0,2] then centered (divide->rail->-1)
         r = jnp.clip(hi / (lo + 1e-9), 0.0, 2.0) - 1.0
         r = seq(self.symbol_filter, r)

@@ -190,8 +190,33 @@ class IqPair(NamedTuple):
     def ndim(self):
         return self.re.ndim
 
+    # complex-API aliases so plane-wise consumers (mag, power) written
+    # against .real/.imag work unchanged
+    @property
+    def real(self):
+        return self.re
+
+    @property
+    def imag(self):
+        return self.im
+
     def to_complex(self) -> Array:
         return jax.lax.complex(self.re, self.im)
+
+    # real-scalar/array scaling stays plane-wise (complex-free); the
+    # tuple-repetition semantics a NamedTuple would inherit are useless
+    # for a signal type
+    def __mul__(self, other):
+        return IqPair(self.re * other, self.im * other)
+
+    __rmul__ = __mul__
+
+
+def iq_abs(x) -> Array:
+    """Magnitude for complex arrays or IqPair (plane-wise, complex-free)."""
+    if isinstance(x, IqPair):
+        return jnp.sqrt(x.re * x.re + x.im * x.im)
+    return jnp.abs(x)
 
 
 def iq_take(x, idx, axis: int = -2):

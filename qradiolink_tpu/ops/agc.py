@@ -34,6 +34,11 @@ class Agc2(Block):
         return jnp.full(self.lead_shape, self.gain0, dtype=jnp.float32)
 
     def __call__(self, state, x):
+        from qradiolink_tpu.core import IqPair
+        if isinstance(x, IqPair):
+            # the gain recurrence is a sequential scan (low-rate path);
+            # complex form keeps the code simple there
+            x = x.to_complex()
         mag = jnp.abs(x).astype(jnp.float32)
 
         def step(g, m):

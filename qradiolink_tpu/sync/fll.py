@@ -58,6 +58,12 @@ class FllBandEdge(Block):
         return (z, z, tail)
 
     def __call__(self, state, x):
+        from qradiolink_tpu.core import IqPair
+        if isinstance(x, IqPair):
+            # the band-edge loop is inherently complex (phase-rotation
+            # scan); convert at entry — these feedback chains are the
+            # low-rate scan paths, not the TPU hot path
+            x = x.to_complex()
         phase0, freq0, tail0 = state
         T = x.shape[-1]
         sb = min(self.sub_block, T)

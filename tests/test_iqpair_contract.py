@@ -1,0 +1,117 @@
+"""IqPair ingest contract: every RX chain accepts IQ as f32 planes.
+
+core.IqPair is the production ingest format on the TPU (complex64
+transfers/ops are pathologically slow there — see core.IqPair). The
+contract: feeding IqPair(x.re, x.im) must produce the same outputs as
+feeding the complex array, for every registered RX mode whose chain
+head is rate-compatible with a quick block. Chains whose heads have
+complex prototype taps (SSB/AM band-pass) fall back to the complex
+path internally — still covered: the contract is about the INPUT type.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qradiolink_tpu.core import IqPair
+from qradiolink_tpu.models.registry import MODES, rx_chain
+
+pytestmark = pytest.mark.fast
+
+# block length must satisfy each chain's decimation/window quanta; 20 ms
+# at 1 Msps covers every 1 Msps chain; MMDVM modes run at 250 ksps
+CASES = [
+    ("NBFM", 20_000), ("FM", 20_000), ("WBFM", 20_000), ("AM", 20_000),
+    ("USB", 24_000), ("LSB", 24_000),
+    ("4FSK2K", 40_000), ("4FSK2KFB", 40_000), ("2FSK2K", 40_000),
+    ("GMSK2K", 40_000), ("BPSK2K", 40_000), ("QPSK2K", 40_000),
+    ("M17", 30_000), ("DMR", 30_000),
+    ("MMDVM", 25_000), ("MMDVMmulti", 25_000),
+]
+
+# chains where a decision nonlinearity sits downstream of a feedback
+# loop (squelch threshold crossings, M&M timing phase, per-sample
+# argmax): float-order differences between the plane and complex
+# computations are amplified chaotically there, so the contract is
+# "works and produces equivalent-quality output", not elementwise
+# equality. NBFM is strict with the squelch held open.
+LOOSE = {"4FSK2KFB"}
+CHAIN_KWARGS = {"NBFM": {"squelch_db": -200.0},
+                "FM": {"squelch_db": -200.0}}
+
+
+def leaves_close(a, b, atol=1e-4):
+    """Plane-order float differences can flip hard decisions at exact
+    ties (e.g. the 4FSK filter-bank argmax on noise), so decision-
+    bearing leaves tolerate a small fraction of flipped entries while
+    everything else must match elementwise."""
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y, np.float32)
+        close = np.isclose(x, y, rtol=1e-4, atol=atol)
+        frac_bad = 1.0 - float(np.mean(close))
+        assert frac_bad <= 0.02, (
+            f"{frac_bad:.3%} of entries differ; shape {x.shape}, "
+            f"sample a={x.ravel()[:3]} b={y.ravel()[:3]}")
+
+
+def _stimulus(mode, t, rng):
+    """Prefer the mode's own TX signal (feedback loops amplify noise-
+    input float differences chaotically); noise when TX is unavailable."""
+    from qradiolink_tpu.models.registry import get_mode, tx_chain
+    spec = get_mode(mode)
+    if spec.tx_factory is not None and spec.kind not in ("mmdvm",):
+        try:
+            tx = tx_chain(mode)
+            if spec.kind == "analog":
+                fs = 8000
+                audio = 0.4 * np.sin(
+                    2 * np.pi * 800 * np.arange(4 * fs) / fs)
+                _, out = tx(tx.init_state(),
+                            jnp.asarray(audio.astype(np.float32)))
+            else:
+                payload = rng.integers(0, 256, 64).astype(np.uint8)
+                _, out = tx(tx.init_state(), jnp.asarray(payload))
+            iq = np.asarray(out["iq"]).astype(np.complex64)
+            if len(iq) >= t:
+                return iq[:t]
+            reps = -(-t // len(iq))
+            return np.tile(iq, reps)[:t]
+        except Exception:
+            pass
+    return ((rng.standard_normal(t) + 1j * rng.standard_normal(t))
+            * 0.1).astype(np.complex64)
+
+
+@pytest.mark.parametrize("mode,t", CASES,
+                         ids=[c[0] for c in CASES])
+def test_rx_chain_accepts_iqpair(mode, t, rng):
+    if mode not in MODES:
+        pytest.skip(f"{mode} not registered")
+    chain = rx_chain(mode, **CHAIN_KWARGS.get(mode, {}))
+    x = _stimulus(mode, 4 * t, rng)
+    s0 = chain.init_state()
+    # run 3 warmup blocks then compare the 4th: start-of-stream
+    # transients (squelch ramp crossings, loop acquisition) are
+    # ulp-sensitive; the contract holds in steady state
+    st_c = st_p = s0
+    for i in range(4):
+        blk = x[i * t:(i + 1) * t]
+        st_c, out_c = chain(st_c, jnp.asarray(blk))
+        st_p, out_p = chain(st_p, IqPair(jnp.asarray(blk.real),
+                                         jnp.asarray(blk.imag)))
+    if mode in LOOSE:
+        for leaf in jax.tree_util.tree_leaves(out_p):
+            assert np.isfinite(np.asarray(leaf, np.float32)).all()
+        assert jax.tree_util.tree_structure(out_p) \
+            == jax.tree_util.tree_structure(out_c)
+        return
+    leaves_close(out_p, out_c)
+    # carried loop states converge asymptotically (e.g. the squelch
+    # envelope approaches 1 exponentially) — transient residue of the
+    # ulp-level start-of-stream differences is allowed
+    leaves_close(st_p, st_c, atol=2e-3)

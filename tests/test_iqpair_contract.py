@@ -17,7 +17,6 @@ import pytest
 from qradiolink_tpu.core import IqPair
 from qradiolink_tpu.models.registry import MODES, rx_chain
 
-pytestmark = pytest.mark.fast
 
 # block length must satisfy each chain's decimation/window quanta; 20 ms
 # at 1 Msps covers every 1 Msps chain; MMDVM modes run at 250 ksps

@@ -326,3 +326,60 @@ def concat_stream_out(y_blocks: Array) -> Array:
     """Collapse scan_stream block outputs (N, ..., T) back to (..., N*T)."""
     y = jnp.moveaxis(y_blocks, 0, -2)
     return y.reshape(*y.shape[:-2], y.shape[-2] * y.shape[-1])
+
+
+def save_state(path, state: State) -> None:
+    """Snapshot a chain's streaming state pytree to disk (.npz).
+
+    The resumable-offline-processing half of checkpoint/resume
+    (SURVEY §5): together with Settings.save this captures everything a
+    later process needs to continue a stream bit-identically — filter
+    tails, loop phases, squelch envelopes, Viterbi overlap windows.
+    Complex leaves are stored as f32 planes so the snapshot round-trips
+    on the axon TPU backend (complex64 transfers are unimplemented)."""
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {}
+    for i, leaf in enumerate(leaves):
+        a = get_iq(leaf) if (hasattr(leaf, "dtype")
+                             and jnp.iscomplexobj(leaf)) else np.asarray(leaf)
+        if np.iscomplexobj(a):
+            arrays[f"l{i}_re"] = np.ascontiguousarray(a.real)
+            arrays[f"l{i}_im"] = np.ascontiguousarray(a.imag)
+        else:
+            arrays[f"l{i}"] = a
+    arrays["_treedef"] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8)
+    arrays["_n"] = np.asarray(len(leaves))
+    np.savez(path, **arrays)
+
+
+def load_state(path, like: State) -> State:
+    """Restore a snapshot produced by save_state. `like` provides the
+    pytree structure (e.g. chain.init_state()); leaf dtypes/shapes must
+    match what was saved."""
+    import numpy as np
+
+    data = np.load(path)
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    n = int(data["_n"])
+    if n != len(leaves_like):
+        raise ValueError(
+            f"snapshot has {n} leaves, structure expects {len(leaves_like)}")
+    out = []
+    for i, ref in enumerate(leaves_like):
+        if f"l{i}_re" in data:
+            leaf = _combine_iq(jnp.asarray(data[f"l{i}_re"], jnp.float32),
+                               jnp.asarray(data[f"l{i}_im"], jnp.float32))
+        else:
+            leaf = jnp.asarray(data[f"l{i}"])
+        if hasattr(ref, "shape") and tuple(leaf.shape) != tuple(ref.shape):
+            if int(np.prod(leaf.shape)) == int(np.prod(ref.shape)):
+                leaf = leaf.reshape(ref.shape)  # 0-d/1-d scalar roundtrip
+            else:
+                raise ValueError(
+                    f"leaf {i}: snapshot shape {leaf.shape} != "
+                    f"expected {ref.shape}")
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

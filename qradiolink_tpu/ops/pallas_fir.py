@@ -43,9 +43,10 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 _VMEM_BUDGET = 12 * 1024 * 1024
-# matmul precision for the banded kernels. HIGHEST (bf16x6) is
-# bit-comparable to the f32 jnp path (~3e-7 rel); HIGH (bf16x3) is
-# ~1e-6 and twice the MXU throughput.
+# matmul precision for the banded kernels. HIGHEST is bit-comparable
+# to the f32 jnp path (~3e-7 rel); "default" (single bf16 pass) is
+# ~2.7e-3 rel — Mosaic supports only these two. Measured: the kernels
+# are DMA/overhead-bound, so HIGHEST costs almost nothing here.
 MATMUL_PRECISION = "highest"
 _MIN_ELEMS = 1 << 22  # below this a fused XLA loop beats the launch cost
 _MIN_TAP_OPS = 1 << 27  # ...unless the tap count makes the XLA loop pay

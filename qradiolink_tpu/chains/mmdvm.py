@@ -95,13 +95,17 @@ class MmdvmDemod(Block):
 
 
 class MmdvmMod(Block):
-    """Single-carrier MMDVM TX: 24 ksps floats -> 250 ksps IQ."""
+    """Single-carrier MMDVM TX: 24 ksps floats -> 250 ksps IQ.
+
+    pair=True keeps the whole chain on core.IqPair f32 planes and
+    returns iq as an IqPair (the complex-free TPU TX form; core.get_iq
+    fetches it to the host)."""
 
     def __init__(self, filter_width: float = FILTER_WIDTH,
-                 lead_shape: tuple = ()):
+                 lead_shape: tuple = (), pair: bool = False):
         ls = tuple(lead_shape)
         self.fm = FrequencyMod(2 * np.pi * FM_DEV_TX / TARGET_RATE,
-                               lead_shape=ls)
+                               lead_shape=ls, pair_out=pair)
         self.post = FirFilter(
             firdes.low_pass(1.0, TARGET_RATE, filter_width, 2000.0,
                             firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
@@ -179,12 +183,12 @@ class MmdvmMultiTx(Block):
     """
 
     def __init__(self, num_channels: int = MAX_CHANNELS,
-                 filter_width: float = FILTER_WIDTH):
+                 filter_width: float = FILTER_WIDTH, pair: bool = False):
         assert 1 <= num_channels <= MAX_CHANNELS
         self.C = int(num_channels)
         cls = (self.C,)
         self.fm = FrequencyMod(2 * np.pi * FM_DEV_TX / TARGET_RATE,
-                               lead_shape=cls)
+                               lead_shape=cls, pair_out=pair)
         self.chan_filter = FirFilter(
             firdes.low_pass(1.0, TARGET_RATE, filter_width, 2000.0,
                             firdes.WIN_BLACKMAN_HARRIS), lead_shape=cls)
@@ -211,9 +215,16 @@ class MmdvmMultiTx(Block):
         if mask is not None:
             x = x * mask
         # scatter logical channels into their PFB bins
+        from qradiolink_tpu.core import IqPair
         Tm = x.shape[-1]
-        bins = jnp.zeros(x.shape[:-2] + (NUM_BRANCHES, Tm), jnp.complex64)
-        bins = bins.at[..., self.port_map, :].set(x)
+        if isinstance(x, IqPair):
+            zr = jnp.zeros(x.re.shape[:-2] + (NUM_BRANCHES, Tm), jnp.float32)
+            bins = IqPair(zr.at[..., self.port_map, :].set(x.re),
+                          zr.at[..., self.port_map, :].set(x.im))
+        else:
+            bins = jnp.zeros(x.shape[:-2] + (NUM_BRANCHES, Tm),
+                             jnp.complex64)
+            bins = bins.at[..., self.port_map, :].set(x)
         y = seq(self.synthesizer, bins)         # (..., Tm*10)
         y = y * (1.0 / self.C)
         return seq.states(), {"iq": y}

@@ -177,15 +177,18 @@ def _mmdvm_entries():
     from qradiolink_tpu.chains.mmdvm import (
         MmdvmDemod, MmdvmMod, MmdvmMultiRx, MmdvmMultiTx)
     return {
+        # TX chains default to the complex-free IqPair planes (the
+        # controller fetches with core.get_iq either way)
         "MMDVM": _spec("MMDVM", "mmdvm",
                        lambda **k: MmdvmDemod(**k),
-                       lambda **k: MmdvmMod(**k), step=12500,
-                       bit_rate=9600),
+                       lambda **k: MmdvmMod(**{"pair": True, **k}),
+                       step=12500, bit_rate=9600),
         "MMDVMmulti": _spec("MMDVMmulti", "mmdvm",
                             lambda num_channels=7, **k:
                             MmdvmMultiRx(num_channels=num_channels, **k),
                             lambda num_channels=7, **k:
-                            MmdvmMultiTx(num_channels=num_channels, **k),
+                            MmdvmMultiTx(**{"num_channels": num_channels,
+                                            "pair": True, **k}),
                             step=25000, bit_rate=9600),
     }
 

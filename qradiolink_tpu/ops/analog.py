@@ -63,11 +63,16 @@ class QuadratureDemod(Block):
 
 
 class FrequencyMod(Block):
-    """y[n] = exp(j * sensitivity * cumsum(x)). State: carried phase."""
+    """y[n] = exp(j * sensitivity * cumsum(x)). State: carried phase.
 
-    def __init__(self, sensitivity: float, lead_shape: tuple = ()):
+    pair_out=True emits core.IqPair(cos, sin) instead of complex64 —
+    the complex-free TX form (see core.IqPair)."""
+
+    def __init__(self, sensitivity: float, lead_shape: tuple = (),
+                 pair_out: bool = False):
         self.sensitivity = float(sensitivity)
         self.lead_shape = tuple(lead_shape)
+        self.pair_out = bool(pair_out)
 
     def init_state(self):
         return jnp.zeros(self.lead_shape, dtype=jnp.float32)
@@ -75,8 +80,11 @@ class FrequencyMod(Block):
     def __call__(self, state, x):
         ph = state[..., None] + jnp.cumsum(
             x.astype(jnp.float32) * self.sensitivity, axis=-1)
-        y = jnp.exp(1j * ph).astype(jnp.complex64)
         new_phase = jnp.mod(ph[..., -1], 2.0 * np.pi)
+        if self.pair_out:
+            from qradiolink_tpu.core import IqPair
+            return new_phase, IqPair(jnp.cos(ph), jnp.sin(ph))
+        y = jnp.exp(1j * ph).astype(jnp.complex64)
         return new_phase, y
 
 

@@ -184,15 +184,61 @@ class PfbSynthesizer(Block):
         self.lead_shape = tuple(lead_shape)
 
     def init_state(self):
-        return jnp.zeros(self.lead_shape + (self.M, self.kp - 1), jnp.complex64)
+        # f32 (re, im) planes, like the channelizer (see core.IqPair)
+        return jnp.zeros(self.lead_shape + (2, self.M, self.kp - 1),
+                         jnp.float32)
 
-    def __call__(self, state, s):
-        # s: (..., M, Tm) channel streams
-        w = jnp.fft.ifft(s, axis=-2) * self.M  # (..., M branches, Tm)
-        wc = jnp.concatenate([state, w], axis=-1)
-        out_p = _branch_fir(wc, self.branch_taps)  # (..., M, Tm)
+    def _idft_mats(self):
+        # w_p = sum_k s_k e^{+2pi i p k / M}  (ifft * M across channels)
+        k = np.arange(self.M)
+        w = np.exp(2j * np.pi * np.outer(k, k) / self.M)
+        return (jnp.asarray(w.real.astype(np.float32)),
+                jnp.asarray(w.imag.astype(np.float32)))
+
+    @staticmethod
+    def _commutate_out(out_p, M):
         # y[t*M + p] = out_p[p, t]
         y = jnp.moveaxis(out_p, -2, -1)  # (..., Tm, M)
-        y = y.reshape(s.shape[:-2] + (s.shape[-1] * self.M,))
+        return y.reshape(out_p.shape[:-2] + (out_p.shape[-1] * M,))
+
+    def __call__(self, state, s):
+        from qradiolink_tpu.core import IqPair
+        from qradiolink_tpu.ops import pallas_fir
+        if isinstance(s, IqPair):
+            wr_m, wi_m = self._idft_mats()
+            wre = jnp.einsum("pk,...kt->...pt", wr_m, s.re) \
+                - jnp.einsum("pk,...kt->...pt", wi_m, s.im)
+            wim = jnp.einsum("pk,...kt->...pt", wr_m, s.im) \
+                + jnp.einsum("pk,...kt->...pt", wi_m, s.re)
+            wcr = jnp.concatenate([state[..., 0, :, :], wre], axis=-1)
+            wci = jnp.concatenate([state[..., 1, :, :], wim], axis=-1)
+            tb = s.shape[-1]
+            res = pallas_fir.depthwise_fir((wcr, wci),
+                                           np.asarray(self.branch_taps), tb)
+            if res is None:
+                vr = _branch_fir(wcr, self.branch_taps)
+                vi = _branch_fir(wci, self.branch_taps)
+            else:
+                (vr, vi), n_main = res
+                if n_main < tb:
+                    vr = jnp.concatenate(
+                        [vr, _branch_fir(wcr[..., n_main:],
+                                         self.branch_taps)], axis=-1)
+                    vi = jnp.concatenate(
+                        [vi, _branch_fir(wci[..., n_main:],
+                                         self.branch_taps)], axis=-1)
+            y = IqPair(self._commutate_out(vr, self.M),
+                       self._commutate_out(vi, self.M))
+            new_state = jnp.stack([wcr[..., wcr.shape[-1] - (self.kp - 1):],
+                                   wci[..., wci.shape[-1] - (self.kp - 1):]],
+                                  axis=-3)
+            return new_state, y
+        # s: (..., M, Tm) complex channel streams
+        tails_c = jax.lax.complex(state[..., 0, :, :], state[..., 1, :, :])
+        w = jnp.fft.ifft(s, axis=-2) * self.M  # (..., M branches, Tm)
+        wc = jnp.concatenate([tails_c, w], axis=-1)
+        out_p = _branch_fir(wc, self.branch_taps)  # (..., M, Tm)
+        y = self._commutate_out(out_p, self.M)
         new_tails = wc[..., wc.shape[-1] - (self.kp - 1):]
-        return new_tails, y.astype(jnp.complex64)
+        new_state = jnp.stack([new_tails.real, new_tails.imag], axis=-3)
+        return new_state, y.astype(jnp.complex64)

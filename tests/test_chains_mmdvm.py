@@ -135,3 +135,35 @@ def test_bursttimer_drives_mmdvm_tx_loop():
     inside = np.mean(np.abs(iq[s1 + 50:s1 + span - 50]) ** 2)
     outside = np.mean(np.abs(iq[s1 + span + 2000:]) ** 2)
     assert inside > 1e3 * max(outside, 1e-12), (inside, outside)
+
+
+def test_mmdvm_tx_pair_matches_complex():
+    """pair=True (complex-free TX planes) must match the complex chain."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qradiolink_tpu.core import IqPair
+    from qradiolink_tpu.chains.mmdvm import (
+        MmdvmMod, MmdvmMultiTx, TARGET_RATE)
+
+    rng = np.random.default_rng(3)
+    n24 = 2880
+    audio = (0.15 * np.sin(2 * np.pi * 1000.0 * np.arange(n24)
+                           / TARGET_RATE)).astype(np.float32)
+
+    mc = MmdvmMod()
+    mp = MmdvmMod(pair=True)
+    _, oc = mc(mc.init_state(), jnp.asarray(audio))
+    _, op = mp(mp.init_state(), jnp.asarray(audio))
+    assert isinstance(op["iq"], IqPair)
+    np.testing.assert_allclose(np.asarray(op["iq"].to_complex()),
+                               np.asarray(oc["iq"]), rtol=1e-4, atol=1e-5)
+
+    a7 = np.stack([audio * (0.5 + 0.1 * c) for c in range(7)])
+    tc = MmdvmMultiTx(7)
+    tp = MmdvmMultiTx(7, pair=True)
+    mask = np.ones((7, n24 * 25 // 24), np.float32)
+    mask[3] = 0.0
+    _, oc = tc(tc.init_state(), jnp.asarray(a7), mask=jnp.asarray(mask))
+    _, op = tp(tp.init_state(), jnp.asarray(a7), mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(op["iq"].to_complex()),
+                               np.asarray(oc["iq"]), rtol=1e-4, atol=1e-5)

@@ -123,11 +123,17 @@ class RadioController:
             kw["ctcss_hz"] = float(ctcss)
         if getattr(s, "filter_width", 0):
             kw["filter_width"] = float(s.filter_width)
+        if not rx:
+            # complex-free TX planes where the chain supports them
+            # (core.get_iq normalizes the fetched IQ either way)
+            kw["pair"] = True
         while True:
             try:
                 return factory(mode, **kw)
             except TypeError:
-                if "ctcss_hz" in kw:
+                if "pair" in kw:
+                    kw.pop("pair")
+                elif "ctcss_hz" in kw:
                     kw.pop("ctcss_hz")
                 elif "filter_width" in kw:
                     kw.pop("filter_width")

@@ -106,7 +106,8 @@ class DmrMod(Block):
     SAMP_RATE = 1_000_000
     SYMBOL_RATE = 4_800
 
-    def __init__(self, filter_width: float = 5000.0, lead_shape: tuple = ()):
+    def __init__(self, filter_width: float = 5000.0, lead_shape: tuple = (),
+                 pair: bool = False):
         ls = tuple(lead_shape)
         sps = 5
         self.sps = sps
@@ -118,7 +119,7 @@ class DmrMod(Block):
             lead_shape=ls)
         # sensitivity pi*Rs*0.85/fs (gr_mod_dmr.cpp:70)
         self.fm = FrequencyMod(np.pi * self.SYMBOL_RATE * 0.85 / if_rate,
-                               lead_shape=ls)
+                               lead_shape=ls, pair_out=pair)
         self.up = RationalResampler(
             125, 3, taps=firdes.low_pass(125.0, 3 * self.SAMP_RATE,
                                          filter_width, 2000.0,

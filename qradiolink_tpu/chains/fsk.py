@@ -201,8 +201,10 @@ class Fsk4Mod(Block):
     SAMP_RATE = 1_000_000
 
     def __init__(self, filter_width: float | None = None,
-                 lead_shape: tuple = (), variant: str = "2KFM"):
+                 lead_shape: tuple = (), variant: str = "2KFM",
+                 pair: bool = False):
         ls = tuple(lead_shape)
+        self._pair = bool(pair)
         sym_rate, sps, ups, default_fw = _4FSK_TX_VARIANTS[variant]
         if filter_width is None:
             filter_width = default_fw
@@ -222,7 +224,8 @@ class Fsk4Mod(Block):
             self.shaper = RationalResampler(
                 sps, 1, taps=np.ones(sps, np.float32), lead_shape=ls)
             spacing, self.amplif = 2.0, 0.8
-        self.fm = FrequencyMod(spacing * np.pi / sps, lead_shape=ls)
+        self.fm = FrequencyMod(spacing * np.pi / sps, lead_shape=ls,
+                               pair_out=self._pair)
         rate1 = sym_rate * sps
         (l1, m1), (l2, m2) = ups
         self.up1 = RationalResampler(
@@ -480,12 +483,14 @@ class _BinaryFskModBase(Block):
     SAMP_RATE = 1_000_000
 
     def __init__(self, symbol_rate: int, sensitivity_num: float,
-                 shaper, filter_width: float, lead_shape: tuple = ()):
+                 shaper, filter_width: float, lead_shape: tuple = (),
+                 pair: bool = False):
         ls = tuple(lead_shape)
         self.fec_head = TxFecHead(lead_shape=ls)
         self.shaper = shaper
         rate_after = symbol_rate * self.sps_total
-        self.fm = FrequencyMod(sensitivity_num / self.sps_total, lead_shape=ls)
+        self.fm = FrequencyMod(sensitivity_num / self.sps_total, lead_shape=ls,
+                               pair_out=pair)
         up = self.SAMP_RATE // rate_after
         self.up = RationalResampler(up, 1, lead_shape=ls)
         self.blocks = [self.fec_head, self.shaper, self.fm, self.up]

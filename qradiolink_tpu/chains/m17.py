@@ -94,7 +94,8 @@ class M17Mod(Block):
     SAMP_RATE = 1_000_000
     SYMBOL_RATE = 4_800
 
-    def __init__(self, filter_width: float = 9000.0, lead_shape: tuple = ()):
+    def __init__(self, filter_width: float = 9000.0, lead_shape: tuple = (),
+                 pair: bool = False):
         ls = tuple(lead_shape)
         sps = 5
         self.sps = sps
@@ -103,7 +104,7 @@ class M17Mod(Block):
             sps, 1, taps=firdes.root_raised_cosine(float(sps), float(sps),
                                                    1.0, 0.5, 50 * sps + 1),
             lead_shape=ls)
-        self.fm = FrequencyMod(np.pi / sps, lead_shape=ls)
+        self.fm = FrequencyMod(np.pi / sps, lead_shape=ls, pair_out=pair)
         self.post_filter = FirFilter(
             firdes.low_pass(1.0, if_rate, filter_width, filter_width,
                             firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)

@@ -78,7 +78,7 @@ class NbfmMod(Block):
     AUDIO_RATE = 8_000
 
     def __init__(self, filter_width: float = 2500.0, ctcss_hz: float = 0.0,
-                 lead_shape: tuple = ()):
+                 lead_shape: tuple = (), pair: bool = False):
         ls = tuple(lead_shape)
         self.audio_filter = FirFilter(
             firdes.low_pass(1.0, self.AUDIO_RATE, 3150.0, 300.0,
@@ -86,7 +86,8 @@ class NbfmMod(Block):
         self.preemph = Emphasis(self.AUDIO_RATE, tau=50e-6, mode="pre",
                                 lead_shape=ls)
         self.up1 = RationalResampler(25, 4, lead_shape=ls)  # 8k -> 50k
-        self.fm = FrequencyMod(4 * np.pi * filter_width / 50_000.0, lead_shape=ls)
+        self.fm = FrequencyMod(4 * np.pi * filter_width / 50_000.0,
+                               lead_shape=ls, pair_out=pair)
         self.post_filter = FirFilter(
             firdes.low_pass(1.0, 50_000.0, filter_width * 2.0,
                             filter_width, firdes.WIN_HAMMING), lead_shape=ls)

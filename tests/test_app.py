@@ -471,3 +471,21 @@ def test_controller_m17_full_duplex_voice():
     got = np.concatenate(audio) if audio else np.zeros(0)
     assert got.size > 8000, "too little M17 audio decoded"
     assert any("N0TPU" in c for c in cs), cs
+
+
+def test_controller_tx_uses_pair_chains_when_supported():
+    """The controller builds TX chains in the complex-free IqPair form
+    where supported and always hands back numpy complex IQ (get_iq)."""
+    import numpy as np
+    from qradiolink_tpu.app.controller import RadioController
+    from qradiolink_tpu.config import Settings
+
+    ctl = RadioController(Settings(tx_mode="NBFM"))
+    ctl.toggle_tx_mode("NBFM")
+    assert ctl._tx.fm.pair_out is True
+    ctl.start_transmission()
+    pcm = (0.3 * np.sin(2 * np.pi * 800 * np.arange(8000) / 8000)
+           ).astype(np.float32)
+    iq = ctl.tx_audio_block(pcm)
+    assert iq is not None and np.iscomplexobj(iq)
+    assert np.isfinite(iq).all() and np.abs(iq).max() > 0.01

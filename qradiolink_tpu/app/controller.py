@@ -618,7 +618,32 @@ class RadioController:
         self._tx_sample_time = 0.0
 
     def end_transmission(self):
+        """PTT up. Returns the end-of-transmission beep PCM when
+        settings.end_beep selects one (reference endTx -> sendTxBeep)."""
         self._transmitting = False
+        if self.settings.end_beep:
+            return self.send_tx_beep(self.settings.end_beep)
+        return None
+
+    def send_tx_beep(self, sound: int = 1) -> np.ndarray:
+        """reference RadioController::sendTxBeep
+        (radiocontroller.cpp:992-1018): an end-of-TX sound scaled to
+        0.4 amplitude followed by 1280 samples of silence. The
+        reference plays canned Qt resource recordings; without those
+        assets the non-zero variants synthesize a short two-tone beep
+        (sound 0 stays the reference's silence block)."""
+        rate = 8000
+        if sound == 0:
+            pcm = np.zeros(8192, np.float32)
+        else:
+            n = int(0.15 * rate)
+            t = np.arange(n) / rate
+            env = np.exp(-t * 18.0)
+            f = 1000.0 if sound == 1 else 660.0 + 110.0 * sound
+            tone = np.sin(2 * np.pi * f * t) \
+                + 0.5 * np.sin(2 * np.pi * f * 4 / 3 * t)
+            pcm = (tone * env).astype(np.float32) * 0.4
+        return np.concatenate([pcm, np.zeros(320 * 4, np.float32)])
 
     @property
     def transmitting(self) -> bool:

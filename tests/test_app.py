@@ -489,3 +489,26 @@ def test_controller_tx_uses_pair_chains_when_supported():
     iq = ctl.tx_audio_block(pcm)
     assert iq is not None and np.iscomplexobj(iq)
     assert np.isfinite(iq).all() and np.abs(iq).max() > 0.01
+
+
+def test_end_beep(monkeypatch):
+    """reference sendTxBeep semantics: 0.4-scaled sound + 1280 samples
+    of trailing silence, emitted at PTT release when end_beep is set."""
+    import numpy as np
+    from qradiolink_tpu.app.controller import RadioController
+    from qradiolink_tpu.config import Settings
+
+    ctl = RadioController(Settings(end_beep=1))
+    ctl.start_transmission()
+    beep = ctl.end_transmission()
+    assert beep is not None
+    assert np.abs(beep).max() <= 0.6001
+    assert np.all(beep[-1280:] == 0.0)
+    assert np.abs(beep[: 8000 // 10]).max() > 0.1
+
+    ctl2 = RadioController(Settings(end_beep=0))
+    ctl2.start_transmission()
+    assert ctl2.end_transmission() is None
+    # sound 0 explicitly: the reference's silence block
+    z = ctl2.send_tx_beep(0)
+    assert z.size == 8192 + 1280 and np.all(z == 0.0)

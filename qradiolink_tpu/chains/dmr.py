@@ -97,6 +97,64 @@ class DmrDemod(Block):
                               "constellation": const_tap, "rssi": rssi}
 
 
+class DmrDemodFF(Block):
+    """TPU-path DMR demod: feedforward timing instead of the M&M scan.
+
+    Same front half as DmrDemod (1 Msps -> 3/125 resampler -> FM
+    discriminator -> RRC), with the sequential symbol_sync replaced by
+    the block-parallel Oerder&Meyr + Farrow FeedforwardSymbolSync
+    (sync/feedforward.py) — the same substitution the 4FSK headline
+    chain makes (Fsk4DemodFF), so hundreds of DMR carriers batch on one
+    chip with no lax.scan. Block length must be a multiple of
+    125 * n_sub * sps (2500 by default).
+    """
+    SAMP_RATE = 1_000_000
+    TARGET_RATE = 24_000
+    SYMBOL_RATE = 4_800
+
+    def __init__(self, filter_width: float = 5000.0, lead_shape: tuple = (),
+                 n_sub: int = 4):
+        from qradiolink_tpu.sync.feedforward import FeedforwardSymbolSync
+        ls = tuple(lead_shape)
+        fs = self.TARGET_RATE
+        self.sps = fs // self.SYMBOL_RATE  # 5
+        self.resamp = RationalResampler(
+            3, 125, taps=firdes.low_pass(3.0, 3 * self.SAMP_RATE,
+                                         filter_width, 2000.0,
+                                         firdes.WIN_BLACKMAN_HARRIS),
+            lead_shape=ls)
+        self.quad = QuadratureDemod(fs / (np.pi / 2 * self.SYMBOL_RATE),
+                                    lead_shape=ls)
+        self.shaping = FirFilter(
+            firdes.root_raised_cosine(1.0, fs, self.SYMBOL_RATE, 0.2,
+                                      25 * self.sps), lead_shape=ls)
+        self.symbol_sync = FeedforwardSymbolSync(self.sps, n_sub=n_sub,
+                                                 lead_shape=ls)
+        self.blocks = [self.resamp, self.quad, self.shaping,
+                       self.symbol_sync]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, iq):
+        seq = Sequencer(state)
+        x = seq(self.resamp, iq)
+        rssi = rssi_dbm(x)
+        x = seq(self.quad, x)
+        soft = seq(self.shaping, x)
+        syms = seq(self.symbol_sync, soft)
+        syms = jnp.real(syms) * 0.9
+        b_hi = (syms < 0).astype(jnp.uint8)
+        b_lo = (jnp.abs(syms) > 0.9).astype(jnp.uint8)
+        bits = jnp.stack([b_hi, b_lo], axis=-1)
+        bits = bits.reshape(*syms.shape[:-1], syms.shape[-1] * 2)
+        from qradiolink_tpu.core import IqPair
+        ph = (np.pi / 2) * syms
+        const_tap = IqPair(jnp.cos(ph), jnp.sin(ph))
+        return seq.states(), {"bits": bits, "symbols": syms, "soft": soft,
+                              "constellation": const_tap, "rssi": rssi}
+
+
 class DmrMod(Block):
     """DMR TX: bits (2/symbol) -> 1 Msps IQ, optional TDMA burst mask.
 

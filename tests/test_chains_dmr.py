@@ -120,3 +120,32 @@ def test_dmr_tx_burst_mask_zeroes_idle_slot():
     idle_pow = np.mean(np.abs(iq[c - 5000:c + 5000]) ** 2)
     act_pow = np.mean(np.abs(iq[:z0 * 125 // 3 - 5000]) ** 2)
     assert idle_pow < act_pow * 1e-3
+
+
+def test_dmr_feedforward_demod_loopback(rng):
+    """DmrDemodFF (TPU path: O&M feedforward timing, no scan) decodes a
+    DmrMod burst stream at 12 dB like the feedback chain."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qradiolink_tpu.chains.dmr import DmrMod, DmrDemodFF
+    from qradiolink_tpu.chains.channel import ChannelModel
+
+    bits = rng.integers(0, 2, 4800).astype(np.uint8)
+    tx = DmrMod()
+    _, out = tx(tx.init_state(), jnp.asarray(bits))
+    iq = np.asarray(out["iq"])
+    iq = iq[: len(iq) - len(iq) % 2500]
+    rx_iq = ChannelModel(1_000_000, snr_db=12.0)(jnp.asarray(iq))
+    dem = DmrDemodFF()
+    _, o = dem(dem.init_state(), rx_iq)
+    got = np.asarray(o["bits"]).ravel()
+    # steady-state dibit BER over the middle, best alignment
+    n = len(bits)
+    lo, hi = n // 2, 7 * n // 8
+    best = 1.0
+    for off in range(0, 200):
+        if off + hi > len(got):
+            break
+        best = min(best, float(np.mean(got[off + lo: off + hi]
+                                       != bits[lo:hi])))
+    assert best <= 0.01, f"FF DMR BER {best:.3f}"

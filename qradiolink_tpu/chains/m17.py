@@ -89,6 +89,62 @@ class M17Demod(Block):
                               "constellation": const_tap, "rssi": rssi}
 
 
+class M17DemodFF(Block):
+    """TPU-path M17 demod: feedforward timing instead of the M&M scan
+    (the Fsk4DemodFF/DmrDemodFF substitution applied to M17, for
+    batching many reflector/repeater carriers on one chip). Block
+    length must be a multiple of 125 * n_sub * sps (2500 by default).
+    """
+    SAMP_RATE = 1_000_000
+    TARGET_RATE = 24_000
+    SYMBOL_RATE = 4_800
+
+    def __init__(self, filter_width: float = 9000.0, lead_shape: tuple = (),
+                 n_sub: int = 4):
+        from qradiolink_tpu.sync.feedforward import FeedforwardSymbolSync
+        ls = tuple(lead_shape)
+        fs = self.TARGET_RATE
+        self.sps = fs // self.SYMBOL_RATE  # 5
+        self.resamp = RationalResampler(
+            3, 125, taps=firdes.low_pass(3.0, 3 * self.SAMP_RATE,
+                                         fs / 2, fs / 2,
+                                         firdes.WIN_BLACKMAN_HARRIS),
+            lead_shape=ls)
+        self.chan_filter = FirFilter(
+            firdes.low_pass(1.0, fs, filter_width, filter_width,
+                            firdes.WIN_BLACKMAN_HARRIS), lead_shape=ls)
+        self.quad = QuadratureDemod(self.sps / np.pi, lead_shape=ls)
+        self.shaping = FirFilter(
+            firdes.root_raised_cosine(1.5, fs, self.SYMBOL_RATE, 0.5,
+                                      50 * self.sps + 1), lead_shape=ls)
+        self.symbol_sync = FeedforwardSymbolSync(self.sps, n_sub=n_sub,
+                                                 lead_shape=ls)
+        self.blocks = [self.resamp, self.chan_filter, self.quad,
+                       self.shaping, self.symbol_sync]
+
+    def init_state(self):
+        return init_states(self.blocks)
+
+    def __call__(self, state, iq):
+        seq = Sequencer(state)
+        x = seq(self.resamp, iq)
+        x = seq(self.chan_filter, x)
+        rssi = rssi_dbm(x)
+        x = seq(self.quad, x)
+        x = seq(self.shaping, x)
+        syms = seq(self.symbol_sync, x)
+        syms = jnp.real(syms)
+        b_hi = (syms < 0).astype(jnp.uint8)
+        b_lo = (jnp.abs(syms) > 1.0).astype(jnp.uint8)
+        bits = jnp.stack([b_hi, b_lo], axis=-1)
+        bits = bits.reshape(*syms.shape[:-1], syms.shape[-1] * 2)
+        from qradiolink_tpu.core import IqPair
+        ph = (np.pi / 2) * syms
+        const_tap = IqPair(jnp.cos(ph), jnp.sin(ph))
+        return seq.states(), {"bits": bits, "symbols": syms,
+                              "constellation": const_tap, "rssi": rssi}
+
+
 class M17Mod(Block):
     """M17 TX: bits (2 per symbol) -> 1 Msps IQ."""
     SAMP_RATE = 1_000_000

@@ -296,3 +296,30 @@ def test_m17_end_to_end_level_mismatch():
     gain control rather than fixed thresholds."""
     lsf, ok = _m17_rf_roundtrip(15.0, 0.0, gain=0.3)
     assert ok >= 5, f"only {ok}/6 payloads at 0.3x level"
+
+
+def test_m17_feedforward_demod_loopback(rng):
+    """M17DemodFF (TPU path) decodes an M17Mod stream at 12 dB."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qradiolink_tpu.chains.m17 import M17Mod, M17DemodFF
+    from qradiolink_tpu.chains.channel import ChannelModel
+
+    bits = rng.integers(0, 2, 4800).astype(np.uint8)
+    tx = M17Mod()
+    _, out = tx(tx.init_state(), jnp.asarray(bits))
+    iq = np.asarray(out["iq"])
+    iq = iq[: len(iq) - len(iq) % 2500]
+    rx_iq = ChannelModel(1_000_000, snr_db=12.0)(jnp.asarray(iq))
+    dem = M17DemodFF()
+    _, o = dem(dem.init_state(), rx_iq)
+    got = np.asarray(o["bits"]).ravel()
+    n = len(bits)
+    lo, hi = n // 2, 7 * n // 8
+    best = 1.0
+    for off in range(0, 200):
+        if off + hi > len(got):
+            break
+        best = min(best, float(np.mean(got[off + lo: off + hi]
+                                       != bits[lo:hi])))
+    assert best <= 0.01, f"FF M17 BER {best:.3f}"

@@ -159,7 +159,8 @@ def _banded_call(xs, w, G, L, CT, n_c, n_t, D):
 
 
 @functools.lru_cache(maxsize=None)
-def stream_plan(C: int, T: int, K: int, D: int, n_streams: int = 2):
+def stream_plan(C: int, T: int, K: int, D: int, n_streams: int = 2,
+                extra_shift: int = 0):
     """Tiling plan for the tail-streaming (concat-free) kernel.
 
     Virtual stream = [P-padded tail | x]; slab j covers virtual
@@ -175,7 +176,7 @@ def stream_plan(C: int, T: int, K: int, D: int, n_streams: int = 2):
     P = -(-(K - 1) // _LANE) * _LANE
     if G * D < P:      # slabs past j=0 must start inside x
         return None
-    L2 = -(-((G - 1) * D + K + (P - K + 1)) // _LANE) * _LANE
+    L2 = -(-((G - 1) * D + K + (P - K + 1) + extra_shift) // _LANE) * _LANE
     n_out = T // D
     n_serve = n_out // G
     # keep every x-DMA in bounds: (n_serve-1)*G*D - P + L2 <= T
@@ -290,19 +291,24 @@ def _stream_call(tails, xs, w, G, P, L2, CT, n_c, n_serve, D):
     return out if isinstance(out, (list, tuple)) else (out,)
 
 
-def banded_fir_stream(tails, xs, taps, stride: int, out_len: int):
+def banded_fir_stream(tails, xs, taps, stride: int, out_len: int,
+                      extra_shift: int = 0):
     """Concat-free streaming strided FIR over parallel f32 planes.
 
     tails: tuple of (..., K-1) f32 carried histories; xs: matching tuple
     of (..., T) f32 blocks; taps concrete real 1-D; out_len = number of
     outputs wanted (= T // stride for block streaming).
 
-    Computes y[m] = sum_k taps[k] * xc[m*stride + K-1 - k] over the
-    virtual stream xc = [tail | x] WITHOUT materialising the concat: the
-    kernel assembles each VMEM slab from the tail ref (j=0) and the x
-    ref directly.  Returns (ys_main, n_main) where ys_main covers
-    outputs [0, n_main); the caller computes the remaining
-    out_len - n_main outputs from a small x slice. None if unservable.
+    Computes y[m] = sum_k taps[k] * xc[m*stride + extra_shift + K-1 - k]
+    over the virtual stream xc = [tail | x] WITHOUT materialising the
+    concat: the kernel assembles each VMEM slab from the tail ref (j=0)
+    and the x ref directly. extra_shift folds a small input offset into
+    the banded matrix — the polyphase-resampler per-phase offset q_r, so
+    L-phase rational resamplers run one stream-kernel launch per phase
+    with no shifted-input copies.  Returns (ys_main, n_main) where
+    ys_main covers outputs [0, n_main); the caller computes the
+    remaining out_len - n_main outputs from a small x slice. None if
+    unservable.
     """
     if not available():
         return None
@@ -316,7 +322,9 @@ def banded_fir_stream(tails, xs, taps, stride: int, out_len: int):
     lead = xs[0].shape[:-1]
     T = xs[0].shape[-1]
     C = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    p = stream_plan(C, T, K, D, len(xs))
+    if not 0 <= int(extra_shift) < max(D, 2):
+        return None
+    p = stream_plan(C, T, K, D, len(xs), int(extra_shift))
     if p is None:
         return None
     G, P, L2, CT, n_c, n_serve = p
@@ -326,10 +334,12 @@ def banded_fir_stream(tails, xs, taps, stride: int, out_len: int):
         if n_serve < 2:
             return None
         n_main = n_serve * G
-    s0 = P - (K - 1)
+    # W rows shift by the tail padding PLUS the caller's phase offset;
+    # the tail buffer itself is always padded to exactly P
+    s0 = P - (K - 1) + int(extra_shift)
     w = jnp.asarray(_build_w_shifted(taps_np[::-1].astype(np.float32),
                                      D, G, L2, s0))
-    tails2 = tuple(jnp.pad(t.reshape((C, K - 1)), ((0, 0), (s0, 0)))
+    tails2 = tuple(jnp.pad(t.reshape((C, K - 1)), ((0, 0), (P - (K - 1), 0)))
                    for t in tails)
     xs2 = tuple(x.reshape((C, T)) for x in xs)
     ys = _stream_call(tails2, xs2, w, G, P, L2, CT, n_c, n_serve, D)

@@ -136,6 +136,48 @@ class RationalResampler(Block):
             # rare (complex prototype taps): do it in the complex domain
             st, y = self.__call__(state, x.to_complex())
             return st, y
+        if self.L > 1:
+            # L-phase rational resampling through the stream kernel: one
+            # launch per phase, the per-phase input offset q_r folded
+            # into the banded matrix (extra_shift) — no shifted copies.
+            # Only worth it when the plan keeps >=32 rows per tile: big
+            # per-phase W matrices (e.g. D=125) force 8-row tiles that
+            # starve the MXU and lose to the fused-XLA plane path
+            # (measured 15.0 vs 12.2 ms/step on the 128ch DMR-FF chain).
+            lead_n = int(np.prod(x.shape[:-1], dtype=np.int64)) \
+                if x.ndim > 1 else 1
+            plan0 = pallas_fir.stream_plan(
+                lead_n, T, self.kp, self.M, 2,
+                max(self.offsets[1:], default=0))
+            n_pp = T // self.M
+            phases = [] if (plan0 is not None and plan0[3] >= 32) else None
+            for r in range(self.L if phases is not None else 0):
+                res = pallas_fir.banded_fir_stream(
+                    (tail_re, tail_im), (x.re, x.im),
+                    self.phase_taps[r], self.M, n_pp,
+                    extra_shift=self.offsets[r])
+                if res is None:
+                    phases = None
+                    break
+                (yr, yi), n_main = res
+                if n_main < n_pp:
+                    start = n_main * self.M + self.offsets[r] - (kp - 1)
+                    ln = (n_pp - 1 - n_main) * self.M + kp
+                    yr = jnp.concatenate([yr, conv1d_valid(
+                        x.re[..., start:start + ln], self.phase_taps[r],
+                        self.M)], axis=-1)
+                    yi = jnp.concatenate([yi, conv1d_valid(
+                        x.im[..., start:start + ln], self.phase_taps[r],
+                        self.M)], axis=-1)
+                phases.append((yr, yi))
+            if phases is not None:
+                yr = jnp.stack([p[0] for p in phases], axis=-1).reshape(
+                    x.shape[:-1] + (n_pp * self.L,))
+                yi = jnp.stack([p[1] for p in phases], axis=-1).reshape(
+                    x.shape[:-1] + (n_pp * self.L,))
+                new_state = jnp.stack([x.re[..., T - (kp - 1):],
+                                       x.im[..., T - (kp - 1):]], axis=-2)
+                return new_state, IqPair(yr, yi)
         xc_re = jnp.concatenate([tail_re, x.re], axis=-1)
         xc_im = jnp.concatenate([tail_im, x.im], axis=-1)
         yr = self._phases(xc_re, T)

@@ -156,3 +156,29 @@ def test_depthwise_fir_per_row_taps(pallas_interp, rng):
 def test_depthwise_plan_rejects_unfit_shapes(pallas_interp):
     assert pf.depthwise_plan(7, 100_000, 32, 2) is None   # C % CT != 0
     assert pf.depthwise_plan(8, 3000, 32, 2) is None      # too few tiles
+
+
+def test_stream_kernel_extra_shift_polyphase(pallas_interp, rng):
+    """The per-phase offset fold (extra_shift) must reproduce the
+    generic polyphase path — the DMR/M17 3/125 resampler head."""
+    from qradiolink_tpu.core import IqPair
+    from qradiolink_tpu.ops.resample import RationalResampler
+
+    # 3/8 with 32 rows: a shape the CT>=32 row-tiling gate accepts
+    # (big-D resamplers like 3/125 are gated to the fused-XLA path)
+    x = ((rng.standard_normal((32, 16_000))
+          + 1j * rng.standard_normal((32, 16_000)))).astype(np.complex64)
+    rs = RationalResampler(3, 8, lead_shape=(32,))
+    s0 = rs.init_state()
+    st_c, y_c = rs(s0, jnp.asarray(x))             # complex/generic path
+    st_p, y_p = rs(s0, IqPair(jnp.asarray(x.real), jnp.asarray(x.imag)))
+    plan0 = pf.stream_plan(32, 16_000, rs.kp, rs.M, 2,
+                           max(rs.offsets[1:], default=0))
+    assert plan0 is not None and plan0[3] >= 32, \
+        "stream kernel did not engage for this shape"
+    np.testing.assert_allclose(np.asarray(y_p.to_complex()),
+                               np.asarray(y_c), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_c),
+                    jax.tree_util.tree_leaves(st_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

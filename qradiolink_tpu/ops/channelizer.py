@@ -51,6 +51,7 @@ class PfbChannelizer(Block):
             taps = default_channelizer_taps(self.M)
         taps = np.asarray(taps, dtype=np.float32)
         kp = -(-taps.shape[0] // self.M)
+        kp = -(-kp // 8) * 8  # sublane-align for the fused Pallas kernel
         padded = np.zeros(kp * self.M, dtype=np.float32)
         padded[: taps.shape[0]] = taps
         # branch p filter: h[p::M]
@@ -63,13 +64,25 @@ class PfbChannelizer(Block):
         self.lead_shape = tuple(lead_shape)
 
     def init_state(self):
-        # f32 (re, im) planes — no complex64 in the hot path (see
-        # core.IqPair: every complex op on the axon TPU pays a multi-ms
-        # representation shim)
-        hist = jnp.zeros(self.lead_shape + (2, self.M - 1), jnp.float32)
-        tails = jnp.zeros(self.lead_shape + (2, self.M, self.kp - 1),
-                          jnp.float32)
-        return (hist, tails)
+        # raw input history: the last kp*M samples as f32 (re, im) planes
+        # (element 0 is never read). Both the jnp path (which derives the
+        # commutator hist + per-branch tails from it) and the fused Pallas
+        # kernel (ops/pallas_pfb.py) consume this directly; no complex64
+        # in the hot path (see core.IqPair).
+        return jnp.zeros(self.lead_shape + (2, self.kp * self.M),
+                         jnp.float32)
+
+    def _split_state(self, raw_p):
+        """One raw-history plane (..., kp*M) -> (hist (..., M-1),
+        tails_q (..., M, kp-1)) for the commutator path.
+
+        tails_q[q, j] = u[Tm_prev - (kp-1) + j, q] = raw[j*M + q + 1]."""
+        hist = raw_p[..., -(self.M - 1):] if self.M > 1 \
+            else raw_p[..., :0]
+        t = raw_p[..., 1: 1 + (self.kp - 1) * self.M]
+        t = t.reshape(t.shape[:-1] + (self.kp - 1, self.M))
+        tails = jnp.swapaxes(t, -1, -2)
+        return hist, tails
 
     def _commutate(self, hist_p, tails_p, xp):
         """One plane through the input commutator.
@@ -121,33 +134,60 @@ class PfbChannelizer(Block):
         return (jnp.asarray(np.ascontiguousarray(wq.real, np.float32)),
                 jnp.asarray(np.ascontiguousarray(wq.imag, np.float32)))
 
+    def _new_raw(self, state, xr, xi):
+        km = self.kp * self.M
+        cat_r = jnp.concatenate([state[..., 0, :], xr], axis=-1)
+        cat_i = jnp.concatenate([state[..., 1, :], xi], axis=-1)
+        return jnp.stack([cat_r[..., -km:], cat_i[..., -km:]], axis=-2)
+
+    def _jnp_pair(self, state, xr, xi):
+        """IqPair jnp path from raw history planes."""
+        wr, wi = self._idft_mats()
+        hist_r, tails_r = self._split_state(state[..., 0, :])
+        hist_i, tails_i = self._split_state(state[..., 1, :])
+        _, _, ucr = self._commutate(hist_r, tails_r, xr)
+        _, _, uci = self._commutate(hist_i, tails_i, xi)
+        vr, vi = self._branch_fir_pair(ucr, uci)
+        yr = jnp.einsum("kq,...qt->...kt", wr, vr) \
+            - jnp.einsum("kq,...qt->...kt", wi, vi)
+        yi = jnp.einsum("kq,...qt->...kt", wr, vi) \
+            + jnp.einsum("kq,...qt->...kt", wi, vr)
+        return yr, yi
+
     def __call__(self, state, x):
         from qradiolink_tpu.core import IqPair
-        hist, tails = state
+        from qradiolink_tpu.ops import pallas_pfb
         T = x.shape[-1]
         if T % self.M != 0:
             raise ValueError(f"block length {T} not a multiple of M={self.M}")
-        wr, wi = self._idft_mats()
         if isinstance(x, IqPair):
-            hr, tr, ucr = self._commutate(hist[..., 0, :],
-                                          tails[..., 0, :, :], x.re)
-            hi, ti, uci = self._commutate(hist[..., 1, :],
-                                          tails[..., 1, :, :], x.im)
-            vr, vi = self._branch_fir_pair(ucr, uci)
-            yr = jnp.einsum("kq,...qt->...kt", wr, vr) \
-                - jnp.einsum("kq,...qt->...kt", wi, vi)
-            yi = jnp.einsum("kq,...qt->...kt", wr, vi) \
-                + jnp.einsum("kq,...qt->...kt", wi, vr)
-            new_state = (jnp.stack([hr, hi], axis=-2),
-                         jnp.stack([tr, ti], axis=-3))
+            new_state = self._new_raw(state, x.re, x.im)
+            res = pallas_pfb.channelize((x.re, x.im), state,
+                                        self._btq_np, self.M, self.kp)
+            if res is not None:
+                (yr, yi), n_main = res
+                tm = T // self.M
+                if n_main < tm:
+                    # remainder rows from a mid-block raw-history slice
+                    cut = n_main * self.M
+                    mid = self._new_raw(state, x.re[..., :cut],
+                                        x.im[..., :cut])
+                    yr2, yi2 = self._jnp_pair(mid, x.re[..., cut:],
+                                              x.im[..., cut:])
+                    yr = jnp.concatenate([yr, yr2], axis=-1)
+                    yi = jnp.concatenate([yi, yi2], axis=-1)
+                return new_state, IqPair(yr, yi)
+            yr, yi = self._jnp_pair(state, x.re, x.im)
             return new_state, IqPair(yr, yi)
-        hist_c = jax.lax.complex(hist[..., 0, :], hist[..., 1, :])
-        tails_c = jax.lax.complex(tails[..., 0, :, :], tails[..., 1, :, :])
-        new_hist, new_tails, w = self._plane(hist_c, tails_c, x)
+        # complex64 path (CPU tests / offline)
+        hist_r, tails_r = self._split_state(state[..., 0, :])
+        hist_i, tails_i = self._split_state(state[..., 1, :])
+        hist_c = jax.lax.complex(hist_r, hist_i)
+        tails_c = jax.lax.complex(tails_r, tails_i)
+        _, _, w = self._plane(hist_c, tails_c, x)
         v = jnp.flip(w, axis=-2)  # back to polyphase order p for the fft
         y = jnp.fft.ifft(v, axis=-2) * self.M
-        new_state = (jnp.stack([new_hist.real, new_hist.imag], axis=-2),
-                     jnp.stack([new_tails.real, new_tails.imag], axis=-3))
+        new_state = self._new_raw(state, x.real, x.imag)
         return new_state, y.astype(jnp.complex64)
 
 

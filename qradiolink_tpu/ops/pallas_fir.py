@@ -374,11 +374,17 @@ def depthwise_plan(C: int, Tc: int, kp: int, n_streams: int):
     for CT in (128, 64, 32, 16, 8):
         if C % CT != 0:
             continue
-        vmem = (2 * n_streams * CT * LS + CT * kp
-                + 2 * n_streams * CT * TT) * 4
-        if vmem > _VMEM_BUDGET:
+        fixed = (2 * n_streams * CT * LS + CT * kp) * 4
+        if fixed > _VMEM_BUDGET:
             continue
-        return (TT, LS, CT, C // CT, n_t)
+        # the whole (CT, n_t*TT) output block lives in VMEM per grid
+        # step — cap n_t so it fits (the caller computes the remainder)
+        per_tile = n_streams * CT * TT * 4
+        n_fit = max(0, (_VMEM_BUDGET - fixed) // per_tile)
+        n_use = min(n_t, n_fit)
+        if n_use < 2:
+            continue
+        return (TT, LS, CT, C // CT, n_use)
     return None
 
 

@@ -18,6 +18,7 @@ import pytest
 from jax.experimental import pallas as pl
 
 import qradiolink_tpu.ops.pallas_fir as pf
+import qradiolink_tpu.ops.pallas_pfb as pp
 import qradiolink_tpu.fec.viterbi_pallas as vp
 from qradiolink_tpu.ops import firdes
 from qradiolink_tpu.ops.fir import _conv1d_real
@@ -31,16 +32,20 @@ def pallas_interp(monkeypatch):
                         functools.partial(pl.pallas_call, interpret=True))
     monkeypatch.setattr(pf, "available", lambda: True)
     monkeypatch.setattr(vp, "available", lambda: True)
+    monkeypatch.setattr(pp, "available", lambda: True)
     monkeypatch.setattr(pf, "_MIN_ELEMS", 1)
+    monkeypatch.setattr(pp, "_MIN_ELEMS", 1)
     # plans are memoized per (shape, params); clear so the patched
     # _MIN_ELEMS takes effect
     pf.plan.cache_clear()
     pf.stream_plan.cache_clear()
     pf.depthwise_plan.cache_clear()
+    pp.plan.cache_clear()
     yield
     pf.plan.cache_clear()
     pf.stream_plan.cache_clear()
     pf.depthwise_plan.cache_clear()
+    pp.plan.cache_clear()
 
 
 HEAD_TAPS = firdes.low_pass(1.0, 1_000_000, 10_000, 10_000,
@@ -132,6 +137,35 @@ def test_viterbi_pallas_decodes_real_codewords(pallas_interp, rng):
         CCSDS_K7, jnp.asarray(soft)))[0]
     # interior decisions must match (edges are warmup)
     assert np.array_equal(dec[32:600 - 32], bits[32:600 - 32])
+
+
+@pytest.mark.parametrize("M,B,Tm", [(10, 4, 1100), (64, 1, 600),
+                                    (10, 1, 3600)])
+def test_fused_pfb_channelizer(pallas_interp, rng, M, B, Tm):
+    """The single-launch fused channelizer kernel (branch FIR + DFT +
+    commutator fold, incl. the time-folded single-stream path) must match
+    the jnp PfbChannelizer path across a two-block stream."""
+    from qradiolink_tpu.ops.channelizer import PfbChannelizer
+    from qradiolink_tpu.core import IqPair
+
+    ch = PfbChannelizer(M, lead_shape=(B,))
+    T = Tm * M
+    xs = [(rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
+          .astype(np.complex64) for _ in range(2)]
+    st_ref = ch.init_state()
+    st_kern = ch.init_state()
+    for x in xs:
+        # complex path = jnp reference (channelize() only serves IqPair)
+        st_ref, y_ref = ch(st_ref, jnp.asarray(x))
+        assert pp.plan(B, Tm, M, ch.kp) is not None, "plan rejected"
+        st_kern, y_k = ch(st_kern, IqPair(jnp.asarray(x.real),
+                                          jnp.asarray(x.imag)))
+        got = np.asarray(y_k.re) + 1j * np.asarray(y_k.im)
+        ref = np.asarray(y_ref)
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 1e-5, err
+        np.testing.assert_allclose(np.asarray(st_kern), np.asarray(st_ref),
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_depthwise_fir_per_row_taps(pallas_interp, rng):

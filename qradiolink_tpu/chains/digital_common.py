@@ -112,7 +112,7 @@ class RxFecTailFF(Block):
     RxFecTail.
     """
 
-    def __init__(self, chunk: int = 128, overlap: int = 32,
+    def __init__(self, chunk: int | None = None, overlap: int = 32,
                  lead_shape: tuple = ()):
         self.viterbi = TiledViterbi(CCSDS_K7, chunk=chunk, overlap=overlap,
                                     lead_shape=lead_shape)

@@ -36,13 +36,24 @@ from qradiolink_tpu.fec.conv import ConvCode, CCSDS_K7
 
 
 def _edge_metric_tables(code: ConvCode):
-    """Constant per-edge expected-output tables for branch metrics.
+    """Constant FMA-form branch-metric tables.
 
-    Returns (e0, e1): each (ns, n) float — expected coded bits along the
-    hi=0 / hi=1 predecessor edge into each state.
+    bm_d[s'] = sum_i (e_d[s',i] ? 255 - soft_i : soft_i)
+             = c_d[s'] + a_d0[s']*soft_0 + a_d1[s']*soft_1
+    with a = 1-2e and c = 255*sum(e) — the exact op order the Pallas
+    kernel uses, so both paths round identically for float inputs.
+    Returns (a0, a1, c) with a_d (ns, n) and c (2, ns).
     """
-    return (code.edge_out[0].astype(np.float32),
-            code.edge_out[1].astype(np.float32))
+    e0 = code.edge_out[0].astype(np.float32)
+    e1 = code.edge_out[1].astype(np.float32)
+    a0 = 1.0 - 2.0 * e0
+    a1 = 1.0 - 2.0 * e1
+    c = np.stack([255.0 * e0.sum(-1), 255.0 * e1.sum(-1)])
+    # both polys tapping the oldest bit makes the hi edge the exact
+    # complement: bm1 = 255*n - bm0 (one fewer FMA chain; the Pallas
+    # kernel exploits the same identity, keeping the paths bit-identical)
+    flip = bool(np.all(e1 == 1.0 - e0))
+    return a0, a1, c, flip
 
 
 def _perm_matrices(code: ConvCode):
@@ -57,11 +68,17 @@ def _perm_matrices(code: ConvCode):
     return P
 
 
-def _acs_step(code, pm, soft_t, e0, e1):
+def _acs_step(code, pm, soft_t, a0, a1, c, flip=False):
     """One vectorized ACS step without gather.
 
     pm: (..., ns); soft_t: (..., n) in [0,255].
     Returns (new_pm, dec) with dec (..., ns) in {0.,1.} (1 = hi pred won).
+
+    No per-step normalization: metrics grow by <= 510 per step, so a
+    tile's worth (steps*510 << 2^24) stays exactly representable for
+    integer soft inputs; a single normalization happens at end-state
+    selection. This keeps the ACS loop 4 ops shorter and matches the
+    Pallas kernel op-for-op.
     """
     ns = code.num_states
     half = ns // 2
@@ -73,15 +90,19 @@ def _acs_step(code, pm, soft_t, e0, e1):
     lo = lo.reshape(lead + (ns,))
     hi = jnp.broadcast_to(pm[..., half:, None], lead + (half, 2))
     hi = hi.reshape(lead + (ns,))
-    # branch metric: sum_i (expected ? 255 - soft : soft)
-    s = soft_t[..., None, :]  # (..., 1, n)
-    bm0 = jnp.sum(jnp.where(e0 > 0.5, 255.0 - s, s), axis=-1)  # (..., ns)
-    bm1 = jnp.sum(jnp.where(e1 > 0.5, 255.0 - s, s), axis=-1)
+    bm0 = c[0]
+    for i in range(code.n):
+        bm0 = bm0 + a0[:, i] * soft_t[..., i:i + 1]   # (..., ns)
     cand0 = lo + bm0
-    cand1 = hi + bm1
+    if flip:
+        cand1 = (hi - bm0) + 255.0 * code.n
+    else:
+        bm1 = c[1]
+        for i in range(code.n):
+            bm1 = bm1 + a1[:, i] * soft_t[..., i:i + 1]
+        cand1 = hi + bm1
     dec = (cand1 < cand0).astype(jnp.float32)
     new_pm = jnp.minimum(cand0, cand1)
-    new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
     return new_pm, dec
 
 
@@ -116,9 +137,10 @@ def viterbi_decode_tiled(code: ConvCode, soft: jax.Array,
     (validated in tests against viterbi_decode).
     """
     ns = code.num_states
-    e0, e1 = _edge_metric_tables(code)
-    e0 = jnp.asarray(e0)
-    e1 = jnp.asarray(e1)
+    a0, a1, c, flip = _edge_metric_tables(code)
+    a0 = jnp.asarray(a0)
+    a1 = jnp.asarray(a1)
+    c = jnp.asarray(c)
     P = jnp.asarray(_perm_matrices(code))
     L, W = int(chunk), int(overlap)
     lead = soft.shape[:-2]
@@ -140,14 +162,17 @@ def viterbi_decode_tiled(code: ConvCode, soft: jax.Array,
     pm = jnp.zeros(lead + (C, ns), jnp.float32)
     decs = []
     for t in range(steps):
-        pm, dec = _acs_step(code, pm, win[..., t, :], e0, e1)
+        pm, dec = _acs_step(code, pm, win[..., t, :], a0, a1, c, flip)
         decs.append(dec)
 
-    # best end state as a one-hot (min-compare; index tiebreak)
-    tie = jnp.arange(ns, dtype=jnp.float32) * 1e-5
-    pmt = pm + tie
-    best = jnp.min(pmt, axis=-1, keepdims=True)
-    oh = (pmt == best).astype(jnp.float32)        # (..., C, ns)
+    # best end state as a one-hot; exact ties resolved to the LOWEST
+    # state index (deterministic, and what the Pallas kernel's masked-min
+    # start-state selection produces)
+    best = jnp.min(pm, axis=-1, keepdims=True)
+    sidx = jnp.arange(ns, dtype=jnp.float32)
+    cand_idx = jnp.where(pm == best, sidx, float(ns))
+    min_idx = jnp.min(cand_idx, axis=-1, keepdims=True)
+    oh = (sidx == min_idx).astype(jnp.float32)    # (..., C, ns)
 
     state_lsb = jnp.asarray((np.arange(ns) & 1).astype(np.float32))
     bits_rev = []
@@ -168,9 +193,13 @@ class TiledViterbi(Block):
     blocks decode identically to one long stream (up to tile truncation,
     which is below the code's error floor for W >= 5K)."""
 
-    def __init__(self, code: ConvCode = None, chunk: int = 128,
+    def __init__(self, code: ConvCode = None, chunk: int | None = None,
                  overlap: int = 32, lead_shape: tuple = ()):
         self.code = code or CCSDS_K7
+        if chunk is None:
+            # larger tiles amortize the 2W-overlap ACS work; on CPU the
+            # jnp fallback unrolls W+L+W python steps, so keep it short
+            chunk = 512 if jax.default_backend() == "tpu" else 128
         self.chunk = int(chunk)
         self.overlap = int(overlap)
         self.lead_shape = tuple(lead_shape)

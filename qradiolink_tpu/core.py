@@ -46,7 +46,11 @@ class _BuildOnHost(type):
 
     def __call__(cls, *args, **kwargs):
         try:
-            cpu = jax.devices("cpu")[0]
+            # process-LOCAL cpu device: in a multi-host session
+            # jax.devices("cpu")[0] is process 0's device, and constants
+            # placed there cannot be embedded when other hosts trace the
+            # chain (parallel/multihost.py)
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:  # pragma: no cover - cpu platform always exists
             return super().__call__(*args, **kwargs)
         with jax.default_device(cpu):

@@ -466,11 +466,14 @@ class Fsk2FbDemod(Block):
 
 
 class GmskDemod(_BinaryFskDemodBase):
-    """GMSK (reference gr_demod_gmsk.cpp): quad gain sps/(pi/2), symbol LP."""
+    """GMSK (reference gr_demod_gmsk.cpp): quad gain sps/(pi/2), symbol LP.
+
+    target_rate=80_000 with symbol_rate=20_000 is the GMSK10K config
+    (gr_demod_gmsk.cpp:53-60: 80 ksps, 4 samples/symbol)."""
 
     def __init__(self, symbol_rate: int = 1000, filter_width: float = 2500.0,
-                 lead_shape: tuple = ()):
-        target = 20_000
+                 lead_shape: tuple = (), target_rate: int = 20_000):
+        target = target_rate
         sps = target // symbol_rate
         super().__init__(
             target, symbol_rate, quad_gain=sps / (np.pi / 2),

@@ -136,6 +136,22 @@ MODES = {
                       lambda **k: Fsk2Mod(symbol_rate=2000,
                                           filter_width=4000.0, **k),
                       framing="2FSK2K", bit_rate=2000),
+    "2FSK1KFB": _spec("2FSK1KFB", "digital_voice",
+                      lambda **k: Fsk2FbDemod(symbol_rate=1000,
+                                              filter_width=2500.0, **k),
+                      lambda **k: Fsk2Mod(symbol_rate=1000,
+                                          filter_width=2500.0, **k),
+                      framing="2FSK1K", bit_rate=1000),
+    # GMSK10K: 20 ksym/s at 80 ksps (4 sps) with the 47-byte IP-modem
+    # framing (reference gr_demod_gmsk.cpp:53-60, gr_modem.cpp:187-190,
+    # radiocontroller.cpp:2269-2273 scan step 50 kHz)
+    "GMSK10K": _spec("GMSK10K", "digital_data",
+                     lambda **k: GmskDemod(symbol_rate=20_000,
+                                           filter_width=20000.0,
+                                           target_rate=80_000, **k),
+                     lambda **k: GmskMod(symbol_rate=20_000,
+                                         filter_width=20000.0, **k),
+                     framing="2FSK10KFM", step=50000, bit_rate=20000),
     "BPSKDSSS8": _spec("BPSKDSSS8", "digital_voice",
                        lambda **k: DsssBpskDemod(**k),
                        lambda **k: DsssBpskMod(**k),
@@ -154,15 +170,23 @@ MODES = {
 # runs on host (chains/freedv.py FreeDvTx/FreeDvRx couple the two)
 def _freedv_entries():
     from qradiolink_tpu.chains.freedv import FreeDvDemod, FreeDvMod
+    rates = {"1600": 1600, "700C": 700, "700D": 700, "800XA": 800,
+             "2400A": 2400}
     out = {}
-    for fdv_mode in ("1600", "700C", "700D", "800XA"):
+    for fdv_mode in ("1600", "700C", "700D", "800XA", "2400A"):
         for sb, usb in (("USB", True), ("LSB", False)):
             name = f"FreeDV{fdv_mode}{sb}"
+            # 2400A is a wideband FSK waveform: pass the full FreeDV
+            # signal band (reference ModemTypeFREEDV2400AUSB/LSB,
+            # modem_types.h:38,43)
+            fw = 4000.0 if fdv_mode == "2400A" else 2500.0
             out[name] = _spec(
                 name, "digital_voice",
-                lambda usb=usb, **k: FreeDvDemod(usb=usb, **k),
-                lambda usb=usb, **k: FreeDvMod(usb=usb, **k),
-                step=2500, bit_rate=1600 if fdv_mode == "1600" else 700)
+                lambda usb=usb, fw=fw, **k: FreeDvDemod(
+                    usb=usb, **{"filter_width": fw, **k}),
+                lambda usb=usb, fw=fw, **k: FreeDvMod(
+                    usb=usb, **{"filter_width": fw, **k}),
+                step=2500, bit_rate=rates[fdv_mode])
     return out
 
 
@@ -194,6 +218,61 @@ def _mmdvm_entries():
 
 
 MODES.update(_mmdvm_entries())
+
+
+# Reference gr_modem_types enum -> registry mode name (parity-checked by
+# tests/test_mode_parity.py against /root/reference/src/modem_types.h).
+# Naming differs where the reference's is misleading: the reference's
+# bare 4FSK2K/2FSK2K/2FSK1K are the FILTER-BANK variants and *FM the
+# discriminator ones; this registry names the discriminator chains bare
+# and suffixes the filter-bank ones FB.
+MODEM_TYPE_MAP = {
+    "ModemTypeBPSK2K": "BPSK2K",
+    "ModemTypeBPSK1K": "BPSK1K",
+    "ModemTypeBPSK8": "BPSKDSSS8",
+    "ModemTypeQPSK2K": "QPSK2K",
+    "ModemTypeQPSK20K": "QPSK20K",
+    "ModemTypeQPSK250K": "QPSK250K",
+    "ModemTypeQPSKVideo": "QPSKVideo",
+    "ModemType4FSK2K": "4FSK2KFB",
+    "ModemType4FSK2KFM": "4FSK2K",
+    "ModemType4FSK1KFM": "4FSK1KFM",
+    "ModemType4FSK10KFM": "4FSK10KFM",
+    "ModemType4FSK100K": "4FSK100K",
+    "ModemType2FSK2KFM": "2FSK2K",
+    "ModemType2FSK1KFM": "2FSK1K",
+    "ModemType2FSK2K": "2FSK2KFB",
+    "ModemType2FSK1K": "2FSK1KFB",
+    "ModemType2FSK10KFM": "2FSK10K",
+    # dead enum entry: never constructed or selected anywhere in the
+    # reference (only appearance is modem_types.h:30); the IP-modem
+    # waveform it names is the same 2FSK10KFM chain
+    "ModemType2FSK10KFMINET": "2FSK10K",
+    "ModemTypeGMSK2K": "GMSK2K",
+    "ModemTypeGMSK1K": "GMSK1K",
+    "ModemTypeGMSK10K": "GMSK10K",
+    "ModemTypeNBFM2500": "NBFM",
+    "ModemTypeNBFM5000": "FM",
+    "ModemTypeWBFM": "WBFM",
+    "ModemTypeUSB2500": "USB",
+    "ModemTypeLSB2500": "LSB",
+    "ModemTypeCW600USB": "CW",
+    "ModemTypeAM5000": "AM",
+    "ModemTypeFREEDV1600USB": "FreeDV1600USB",
+    "ModemTypeFREEDV700CUSB": "FreeDV700CUSB",
+    "ModemTypeFREEDV700DUSB": "FreeDV700DUSB",
+    "ModemTypeFREEDV800XAUSB": "FreeDV800XAUSB",
+    "ModemTypeFREEDV2400AUSB": "FreeDV2400AUSB",
+    "ModemTypeFREEDV1600LSB": "FreeDV1600LSB",
+    "ModemTypeFREEDV700CLSB": "FreeDV700CLSB",
+    "ModemTypeFREEDV700DLSB": "FreeDV700DLSB",
+    "ModemTypeFREEDV800XALSB": "FreeDV800XALSB",
+    "ModemTypeFREEDV2400ALSB": "FreeDV2400ALSB",
+    "ModemTypeMMDVM": "MMDVM",
+    "ModemTypeMMDVMmulti": "MMDVMmulti",
+    "ModemTypeM17": "M17",
+    "ModemTypeDMR": "DMR",
+}
 
 
 def get_mode(name: str) -> ModeSpec:

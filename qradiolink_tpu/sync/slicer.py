@@ -21,22 +21,32 @@ def binary_slicer(x):
 
 
 # band index (ascending tone frequency) -> point, matching the
-# reference's in1..in4 branch order (gr_4fsk_discriminator.cpp:30-38)
+# reference's in1..in4 branch order and its literal constants
+# (gr_4fsk_discriminator.cpp:30-38)
 _FSK4_POINTS = np.array(
-    [-0.707 - 0.707j, -0.707 + 0.707j, 0.707 + 0.707j, 0.707 - 0.707j],
+    [-0.707107 - 0.707107j, -0.707107 + 0.707107j,
+     0.707107 + 0.707107j, 0.707107 - 0.707107j],
     dtype=np.complex64,
 )
 
 
 class Fsk4Discriminator:
-    """(..., 4, T) branch magnitudes -> (..., T) constellation points."""
+    """(..., 4, T) branch magnitudes -> (..., T) constellation points.
+
+    A branch wins only when STRICTLY greater than all others; ties emit
+    0+0j exactly as the reference's if/else-if chain does
+    (gr_4fsk_discriminator.cpp:30-40) — verified bit-exact against the
+    compiled reference in tests/test_golden_parity.py."""
 
     def __init__(self):
         self.points = jnp.asarray(_FSK4_POINTS)
 
     def __call__(self, mags):
+        maxv = jnp.max(mags, axis=-2, keepdims=True)
+        n_at_max = jnp.sum((mags == maxv).astype(jnp.float32), axis=-2)
         idx = jnp.argmax(mags, axis=-2)
-        return self.points[idx]
+        strict = (n_at_max == 1.0).astype(jnp.float32)
+        return self.points[idx] * strict
 
 
 def fsk4_slice_soft(sym, levels=(-1.5, -0.5, 0.5, 1.5)):

@@ -171,3 +171,22 @@ def test_fsk4_demod_on_numpy_synthesized_4fsk():
         err = np.mean(dec != levels[sent[lo:hi]])
         best = min(best, err)
     assert best < 0.01, f"4FSK symbol error rate {best} on numpy IQ"
+
+
+def test_fsk4_discriminator_bit_exact_vs_compiled_reference():
+    """Fsk4Discriminator vs golden vectors from the COMPILED reference
+    gr_4fsk_discriminator.cpp (built unmodified against a minimal GNU
+    Radio API shim; fixture includes forced exact ties, which must emit
+    0+0j through the reference's strict if/else-if chain)."""
+    import json
+    import pathlib
+    from qradiolink_tpu.sync.slicer import Fsk4Discriminator
+
+    fix = json.loads((pathlib.Path(__file__).parent / "fixtures" /
+                      "fsk4_discriminator_golden.json").read_text())
+    mags = jnp.asarray(np.asarray(fix["inputs"], np.float32))  # (4, N)
+    out = np.asarray(Fsk4Discriminator()(mags))
+    np.testing.assert_array_equal(out.real.astype(np.float32),
+                                  np.asarray(fix["out_re"], np.float32))
+    np.testing.assert_array_equal(out.imag.astype(np.float32),
+                                  np.asarray(fix["out_im"], np.float32))

@@ -138,12 +138,16 @@ def decode_windows(code, win: jax.Array, keep_from: int) -> jax.Array:
     (rows < keep_from undefined). Returns None if not servable."""
     if not available():
         return None
+    from qradiolink_tpu.utils.profiling import pallas_paths
     ns = code.num_states
     if code.n != 2 or ns < 8 or ns > 64 or ns % 2:
+        pallas_paths.record("tiled_viterbi", False, f"code n{code.n}")
         return None
     R, S, _ = win.shape
     if R < 256 or S * 510.0 >= 2 ** 24:
+        pallas_paths.record("tiled_viterbi", False, f"R{R} S{S}")
         return None
+    pallas_paths.record("tiled_viterbi", True, f"R{R} S{S}")
     tabf, tabi, flip = _tables(code)
     # pick the widest lane tile VMEM affords (dec words + windows + bits)
     rt = 2048

@@ -162,8 +162,10 @@ class PfbChannelizer(Block):
             raise ValueError(f"block length {T} not a multiple of M={self.M}")
         if isinstance(x, IqPair):
             new_state = self._new_raw(state, x.re, x.im)
-            res = pallas_pfb.channelize((x.re, x.im), state,
-                                        self._btq_np, self.M, self.kp)
+            res = None
+            if pallas_pfb.ENABLED:
+                res = pallas_pfb.channelize((x.re, x.im), state,
+                                            self._btq_np, self.M, self.kp)
             if res is not None:
                 (yr, yi), n_main = res
                 tm = T // self.M

@@ -58,6 +58,13 @@ def available() -> bool:
     return _HAVE_PALLAS and jax.default_backend() == "tpu"
 
 
+def _rec(op: str, served: bool, detail: str = ""):
+    """Trace-time path-selection record (utils.profiling.pallas_paths):
+    makes jnp fallbacks observable instead of silent."""
+    from qradiolink_tpu.utils.profiling import pallas_paths
+    pallas_paths.record(op, served, detail)
+
+
 @functools.lru_cache(maxsize=None)
 def plan(C: int, T: int, K: int, D: int, n_streams: int):
     """Static tiling plan or None if the shape isn't servable.
@@ -323,10 +330,13 @@ def banded_fir_stream(tails, xs, taps, stride: int, out_len: int,
     T = xs[0].shape[-1]
     C = int(np.prod(lead, dtype=np.int64)) if lead else 1
     if not 0 <= int(extra_shift) < max(D, 2):
+        _rec("banded_fir_stream", False, f"shift C{C} T{T} K{K} D{D}")
         return None
     p = stream_plan(C, T, K, D, len(xs), int(extra_shift))
     if p is None:
+        _rec("banded_fir_stream", False, f"plan C{C} T{T} K{K} D{D}")
         return None
+    _rec("banded_fir_stream", True, f"C{C} T{T} K{K} D{D}")
     G, P, L2, CT, n_c, n_serve = p
     n_main = n_serve * G
     if n_main > out_len:
@@ -471,7 +481,9 @@ def depthwise_fir(xs, taps, out_len: int):
     cf = int(np.prod(lead, dtype=np.int64)) * C if lead else C
     p = depthwise_plan(cf, Tc, kp, len(xs))
     if p is None:
+        _rec("depthwise_fir", False, f"plan C{cf} T{Tc} kp{kp}")
         return None
+    _rec("depthwise_fir", True, f"C{cf} T{Tc} kp{kp}")
     TT, LS, CT, n_c, n_t = p
     n_main = min(n_t * TT, out_len)
     if n_main < TT:
@@ -525,11 +537,14 @@ def banded_fir(x: jax.Array, taps, stride: int, out_len=None):
         raise ValueError(f"out_len {n_out} exceeds available {n_out_full}")
     p = plan(C, T, K, D, ns)
     if p is None:
+        _rec("banded_fir", False, f"plan C{C} T{T} K{K} D{D}")
         return None
     G, L, CT, n_c, n_t_cap, need = p
     n_t = -(-n_out // G)
     if n_t < 2:
+        _rec("banded_fir", False, f"tiles C{C} T{T} K{K} D{D}")
         return None
+    _rec("banded_fir", True, f"C{C} T{T} K{K} D{D}")
     need_here = (n_t - 1) * G * D + L
     x2 = x.reshape((C, T))
     if T < need_here:

@@ -59,7 +59,16 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 # f32 rounding of the jnp path; the DFT is a minor share of kernel work.
 MATMUL_PRECISION = "highest"
 _MIN_ELEMS = 1 << 21
-_ABLATE = None  # debug: "nofir" | "nodot" | "notaps"
+
+# Opt-in (QRL_FUSED_PFB=1): on the current axon backend the mandatory
+# XLA lane-pack transpose in front of this kernel costs more than the
+# whole depthwise+einsum path it replaces (measured r5: M=64 fused
+# 1.23 ms vs 0.83 ms jnp; M=10x16 3.74 vs 2.89 — Mosaic cannot DMA
+# sub-128-lane windows, so the (stream, plane) interleave cannot be
+# done by the kernel itself). The kernel is bit-exact and CI-covered;
+# on hardware with full-speed XLA transposes it wins by ~2x.
+import os as _os
+ENABLED = _os.environ.get("QRL_FUSED_PFB", "0") == "1"
 
 
 def available() -> bool:
@@ -207,32 +216,20 @@ def _fused_call(packed, taps, rhs, M, kp, g_str, n_bg, ttt, n_serve, rs):
             in_dma(j, slot).wait()
 
             # branch FIR: kp+1 sublane-shifted broadcast FMAs
-            if _ABLATE == "nofir":
-                acc = slab[slot, pl.ds(kp, ttt), :] * t_ref[0:1, :]
-            elif _ABLATE == "notaps":
-                acc = slab[slot, pl.ds(kp, ttt), :] * t_ref[0:1, :]
-                for l in range(1, kp + 1):
-                    acc = acc + slab[slot, pl.ds(kp, ttt), :] \
-                        * t_ref[l:l + 1, :]
-            else:
-                acc = slab[slot, pl.ds(kp, ttt), :] * t_ref[0:1, :]
-                for l in range(1, kp + 1):
-                    acc = acc + slab[slot, pl.ds(kp - l, ttt), :] \
-                        * t_ref[l:l + 1, :]
+            acc = slab[slot, pl.ds(kp, ttt), :] * t_ref[0:1, :]
+            for l in range(1, kp + 1):
+                acc = acc + slab[slot, pl.ds(kp - l, ttt), :] \
+                    * t_ref[l:l + 1, :]
 
             # DFT across branches; contracting acc's lane axis makes the
             # MXU emit the channel-major output transpose for free
             @pl.when(j >= 2)
             def _():
                 out_dma(j - 2, slot).wait()
-            if _ABLATE == "nodot":
-                obuf[slot] = jnp.broadcast_to(
-                    jnp.sum(acc)[None, None], (_LANE, ttt))
-            else:
-                obuf[slot] = lax.dot_general(
-                    r_ref[:, :], acc, (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision(MATMUL_PRECISION))
+            obuf[slot] = lax.dot_general(
+                r_ref[:, :], acc, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision(MATMUL_PRECISION))
             out_dma(j, slot).start()
             return 0
 

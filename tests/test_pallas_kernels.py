@@ -33,6 +33,7 @@ def pallas_interp(monkeypatch):
     monkeypatch.setattr(pf, "available", lambda: True)
     monkeypatch.setattr(vp, "available", lambda: True)
     monkeypatch.setattr(pp, "available", lambda: True)
+    monkeypatch.setattr(pp, "ENABLED", True)
     monkeypatch.setattr(pf, "_MIN_ELEMS", 1)
     monkeypatch.setattr(pp, "_MIN_ELEMS", 1)
     # plans are memoized per (shape, params); clear so the patched

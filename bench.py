@@ -155,7 +155,10 @@ def bench_mixed64(platform):
         "vs_baseline": round(msps / n_ch, 2)}), flush=True)
 
     # device-true: state-carried steps iterated inside one jit (same
-    # scan-in-jit methodology as the 4FSK headline lines)
+    # scan-in-jit methodology as the 4FSK headline lines). The axon
+    # compile helper crashes on the full mixed program under lax.scan
+    # (~8.7 MB MLIR module, no diagnostic), so fall back to host-loop
+    # minus the measured per-dispatch floor when that happens.
     from jax import lax
 
     @jax.jit
@@ -167,19 +170,33 @@ def bench_mixed64(platform):
         st, vs = lax.scan(body, s, None, length=n_iter)
         return st, jnp.sum(vs)
 
-    st, v = scan_n(state, iq)
-    _fence(v)
-    t0 = time.perf_counter()
-    st, v = scan_n(st, iq)
-    _fence(v)
-    dt = (time.perf_counter() - t0) / n_iter
-    msps = t / dt / 1e6
+    try:
+        st, v = scan_n(state, iq)
+        _fence(v)
+        t0 = time.perf_counter()
+        st, v = scan_n(st, iq)
+        _fence(v)
+        dt2 = (time.perf_counter() - t0) / n_iter
+        method = "scan-in-jit"
+    except Exception:
+        # per-dispatch floor: a no-op jitted call in the same process
+        noop = jax.jit(lambda v: v * 1.0001)
+        z = jnp.ones((8, 128), jnp.float32)
+        _fence(jnp.sum(noop(z)))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            z2 = noop(z)
+        _fence(jnp.sum(z2))
+        floor = (time.perf_counter() - t0) / 20
+        dt2 = max(dt - floor, 1e-6)
+        method = "host-loop minus dispatch floor (scan compile fails)"
+    msps = t / dt2 / 1e6
     print(json.dumps({
         "metric": f"mixed {n_ch}-ch channelizer + {half}x4FSK/{half}xNBFM "
-                  f"scan-in-jit (BASELINE configs[4], device-true, "
+                  f"device-true [{method}] (BASELINE configs[4], "
                   f"{platform})",
         "value": round(msps, 1), "unit": "Msamples/s/chip",
-        "step_ms": round(dt * 1e3, 2),
+        "step_ms": round(dt2 * 1e3, 2),
         "aggregate_rt_factor": round(msps / n_ch, 2),
         "vs_baseline": round(msps / n_ch, 2)}), flush=True)
 
@@ -211,7 +228,7 @@ def main():
                           "error": str(e)[:200]}), flush=True)
 
     # channel-count scan, headline = best config
-    counts = (128, 256, 512) if platform == "tpu" else (4,)
+    counts = (128, 256, 512, 1024) if platform == "tpu" else (4,)
     best = None
     for n_ch in counts:
         msps_scan, dt_scan = bench_4fsk(platform, n_ch, t)

@@ -224,7 +224,30 @@ def iq_abs(x) -> Array:
 
 
 def iq_take(x, idx, axis: int = -2):
-    """Channel-subset selection that works for complex arrays and IqPair."""
+    """Channel-subset selection that works for complex arrays and IqPair.
+
+    Contiguous ascending index ranges (the MultichannelRx group layout)
+    lower to a plain slice instead of a gather — gathers are expensive
+    on the TPU backend."""
+    import numpy as np
+
+    if isinstance(idx, jax.core.Tracer):
+        idx_np = None
+    else:
+        idx_np = np.asarray(idx)
+    if idx_np is not None and idx_np.ndim == 1 and idx_np.size > 0 and \
+            np.array_equal(idx_np, np.arange(idx_np[0],
+                                             idx_np[0] + idx_np.size)):
+        lo = int(idx_np[0])
+        hi = lo + int(idx_np.size)
+        def sl(a):
+            ax = axis % a.ndim
+            ix = [slice(None)] * a.ndim
+            ix[ax] = slice(lo, hi)
+            return a[tuple(ix)]
+        if isinstance(x, IqPair):
+            return IqPair(sl(x.re), sl(x.im))
+        return sl(x)
     if isinstance(x, IqPair):
         return IqPair(jnp.take(x.re, idx, axis=axis),
                       jnp.take(x.im, idx, axis=axis))

@@ -228,7 +228,7 @@ def main():
                           "error": str(e)[:200]}), flush=True)
 
     # channel-count scan, headline = best config
-    counts = (128, 256, 512, 1024) if platform == "tpu" else (4,)
+    counts = (128, 256, 512, 1024, 2048) if platform == "tpu" else (4,)
     best = None
     for n_ch in counts:
         msps_scan, dt_scan = bench_4fsk(platform, n_ch, t)

@@ -233,7 +233,7 @@ def kernel_benches(C=128, T=200_000):
            flops=C * 4000 * 64 * 6)
 
 
-def chain_benches(channel_counts=(64, 128, 256, 512, 1024), t=200_000):
+def chain_benches(channel_counts=(64, 128, 256, 512, 1024, 2048), t=200_000):
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -26,11 +26,21 @@ class CessbClipper(Stateless):
 
 
 class CessbStretcher(Block):
-    """Normalize by the max envelope over a sliding window (default 5).
+    """Divide by the reference's overshoot-stretch gain, computed from
+    the max envelope over a centered 5-sample window.
 
-    State: last window-1 input samples so the sliding max is seamless
-    across block boundaries.
+    Reference law (stretcher_cc_impl.cc:79-96, kept op-for-op):
+        env  = max(|x[j-2..j+2]|)
+        e    = max(env * emax, 1),   emax = 1 / (sqrt(0.5) / 2)
+        out  = x[j] / ((e - 1) * 2 + 1)
+    The reference reads 2 samples of lookahead; this streaming block
+    instead emits outputs delayed 2 samples (identical values, shifted).
+    State: last window-1 input samples so the window is seamless across
+    block boundaries. Bit-exact vs the compiled reference block
+    (tests/test_golden_parity.py).
     """
+
+    EMAX = 1.0 / (0.5 ** 0.5 / 2.0)
 
     def __init__(self, window: int = 5, lead_shape: tuple = ()):
         self.window = int(window)
@@ -45,11 +55,12 @@ class CessbStretcher(Block):
         T = x.shape[-1]
         win = jnp.stack([mag[..., i:i + T] for i in range(self.window)], axis=0)
         env = jnp.max(win, axis=0)
-        gain = 1.0 / jnp.maximum(env, 1.0)
-        # delay x by (window-1)//2 to center the window (matches the
-        # 2-sample history of the reference's general_work implementation)
+        e = jnp.maximum(env * jnp.float32(self.EMAX), 1.0)
+        divisor = (e - 1.0) * 2.0 + 1.0
+        # delay x by (window-1)//2 to center the window (the reference
+        # uses 2 samples of lookahead instead)
         d = (self.window - 1) // 2
         xd = xc[..., self.window - 1 - d: self.window - 1 - d + T]
-        y = xd * gain.astype(x.real.dtype)
+        y = xd / divisor.astype(x.real.dtype)
         new_tail = xc[..., xc.shape[-1] - (self.window - 1):]
         return new_tail, y

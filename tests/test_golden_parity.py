@@ -190,3 +190,50 @@ def test_fsk4_discriminator_bit_exact_vs_compiled_reference():
                                   np.asarray(fix["out_re"], np.float32))
     np.testing.assert_array_equal(out.imag.astype(np.float32),
                                   np.asarray(fix["out_im"], np.float32))
+
+
+def test_cessb_stretcher_vs_compiled_reference():
+    """CessbStretcher vs golden vectors from the COMPILED reference
+    stretcher_cc_impl.cc (built unmodified against GNU Radio/VOLK API
+    shims); agreement to f32 rounding (~5e-8 — |z| and division op
+    order differ). The r5 golden caught a real gain-law deviation: the
+    old block used 1/max(env,1) where the reference stretches with
+    (max(env*emax,1)-1)*2+1. The reference reads 2 samples of
+    lookahead; the streaming block emits the same values delayed 2."""
+    import json
+    import pathlib
+    from qradiolink_tpu.ops.cessb import CessbStretcher
+
+    fix = json.loads((pathlib.Path(__file__).parent / "fixtures" /
+                      "cessb_golden.json").read_text())
+    n = fix["n"]
+    x = (np.asarray(fix["in_re"], np.float32)
+         + 1j * np.asarray(fix["in_im"], np.float32)).astype(np.complex64)
+    ref = (np.asarray(fix["stretch_re"], np.float32)
+           + 1j * np.asarray(fix["stretch_im"], np.float32))
+
+    st = CessbStretcher()
+    _, y = st(st.init_state(), jnp.asarray(x))
+    y = np.asarray(y)
+    # y[t] == ref[t-2]; the reference consumed n+2 inputs for n outputs
+    np.testing.assert_allclose(y[2:n + 2].real, ref.real, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(y[2:n + 2].imag, ref.imag, rtol=0, atol=1e-6)
+
+
+def test_cessb_clipper_vs_compiled_reference():
+    """CessbClipper vs the compiled reference clipper (the reference
+    uses gr::fast_atan2f — shimmed with exact atan2, so tolerance covers
+    only fp path differences, not structure)."""
+    import json
+    import pathlib
+    from qradiolink_tpu.ops.cessb import CessbClipper
+
+    fix = json.loads((pathlib.Path(__file__).parent / "fixtures" /
+                      "cessb_golden.json").read_text())
+    n = fix["n"]
+    x = (np.asarray(fix["in_re"][:n], np.float32)
+         + 1j * np.asarray(fix["in_im"][:n], np.float32))
+    ref = (np.asarray(fix["clip_re"], np.float32)
+           + 1j * np.asarray(fix["clip_im"], np.float32))
+    y = np.asarray(CessbClipper(0.95).apply(jnp.asarray(x)))
+    np.testing.assert_allclose(y, ref, rtol=0, atol=2e-6)

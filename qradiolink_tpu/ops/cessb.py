@@ -53,7 +53,8 @@ class CessbStretcher(Block):
         xc = jnp.concatenate([state, x], axis=-1)
         mag = jnp.abs(xc)
         T = x.shape[-1]
-        win = jnp.stack([mag[..., i:i + T] for i in range(self.window)], axis=0)
+        win = jnp.stack([mag[..., i:i + T] for i in range(self.window)],
+                        axis=0)
         env = jnp.max(win, axis=0)
         e = jnp.maximum(env * jnp.float32(self.EMAX), 1.0)
         divisor = (e - 1.0) * 2.0 + 1.0

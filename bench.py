@@ -241,6 +241,28 @@ def main():
         if best is None or msps_scan > best[0]:
             best = (msps_scan, n_ch)
 
+    # which stages the headline chain serves from the Pallas kernels at
+    # the winning shape (trace-time decisions; no silent fallbacks)
+    try:
+        import jax.numpy as jnp
+        from qradiolink_tpu.chains.fsk import Fsk4DemodFF
+        from qradiolink_tpu.core import IqPair
+        from qradiolink_tpu.utils.profiling import pallas_paths
+
+        n_best = best[1]
+        chain = Fsk4DemodFF(lead_shape=(n_best,))
+        st_shape = jax.eval_shape(chain.init_state)
+        xs = IqPair(jax.ShapeDtypeStruct((n_best, t), jnp.float32),
+                    jax.ShapeDtypeStruct((n_best, t), jnp.float32))
+        pallas_paths.reset()
+        jax.eval_shape(lambda s, v: chain(s, v), st_shape, xs)
+        rep = {k: {kk: v[kk] for kk in ("pallas", "fallback")}
+               for k, v in pallas_paths.report().items()}
+        print(json.dumps({"metric": "pallas-served stages at headline "
+                                    "shape", "paths": rep}), flush=True)
+    except Exception:
+        pass
+
     msps, n_ch = best
     print(json.dumps({
         "metric": "4FSK_2K demod aggregate IQ throughput "

@@ -207,6 +207,23 @@ def kernel_benches(C=128, T=200_000):
            bytes_moved=B * 250_000 * 8 * 2,
            flops=8 * B * 250_000 * (ntaps / 10 + np.log2(10)))
 
+    # 3b. PFB channelizer at the BASELINE mixed-config shape (64
+    # channels, one wideband stream) — the production case; the M=10
+    # line above is kept for round-over-round comparison
+    ch64 = PfbChannelizer(64)
+    t64 = 1_600_000
+    xc64 = put_iq_pair((rng.standard_normal(t64)
+                        + 1j * rng.standard_normal(t64))
+                       .astype(np.complex64))
+    st64 = jax.jit(ch64.init_state)()
+    f3b = jax.jit(lambda s, v: ch64(s, v))
+    dt_w = _wall(f3b, st64, xc64)
+    dt_s = _scan_time(ch64, st64, xc64)
+    n64 = int(np.asarray(ch64.branch_taps).size)
+    report("pfb_channelizer_64ch_mixedcfg", dt_s, dt_w,
+           bytes_moved=t64 * 8 * 2,
+           flops=8 * t64 * (n64 / 64 + np.log2(64)))
+
     # 4. quadrature demod at 24 ksps x C channels (IqPair path)
     q = QuadratureDemod(1.0, lead_shape=(C,))
     xq = put_iq_pair((rng.standard_normal((C, 24_000))

@@ -76,6 +76,15 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = ctypes.c_uint64
         fn.argtypes = [ctypes.c_void_p]
+    lib.qrl_udp_tx_start.restype = ctypes.c_void_p
+    lib.qrl_udp_tx_start.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_void_p, ctypes.c_uint64,
+                                     ctypes.c_uint64]
+    lib.qrl_udp_tx_stop.argtypes = [ctypes.c_void_p]
+    for name in ("qrl_udp_tx_datagrams", "qrl_udp_tx_starved"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_uint64
+        fn.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -185,5 +194,46 @@ class UdpRxEngine:
     def close(self):
         if self._h:
             self._lib.qrl_udp_rx_stop(self._h)
+            self._h = None
+        self.ring.close()
+
+
+class UdpTxEngine:
+    """Background native PACED UDP sender draining a ring buffer — the
+    egress twin of UdpRxEngine (the reference's timed sample sink / UDP
+    audio out role, udpclient.cpp; pacing via CLOCK_MONOTONIC absolute
+    sleeps, one chunk-sized datagram per tick, GIL-free).
+
+    chunk_bytes/ns_per_chunk set the pace: e.g. 1 Msps cs16 IQ in
+    4096-byte datagrams -> 1024 samples/datagram -> ns_per_chunk =
+    1_024_000.
+    """
+
+    def __init__(self, host: str, port: int, chunk_bytes: int,
+                 ns_per_chunk: int, ring_bytes: int = 1 << 22):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native engine unavailable")
+        self.ring = RingBuffer(ring_bytes)
+        self._h = self._lib.qrl_udp_tx_start(
+            host.encode(), int(port), self.ring._h,
+            int(chunk_bytes), int(ns_per_chunk))
+        if not self._h:
+            raise OSError(f"could not connect UDP {host}:{port}")
+
+    def write(self, data: bytes) -> int:
+        return self.ring.write(data)
+
+    @property
+    def datagrams(self) -> int:
+        return int(self._lib.qrl_udp_tx_datagrams(self._h))
+
+    @property
+    def starved(self) -> int:
+        return int(self._lib.qrl_udp_tx_starved(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.qrl_udp_tx_stop(self._h)
             self._h = None
         self.ring.close()

@@ -185,4 +185,79 @@ void qrl_udp_rx_stop(QrlUdpRx* u) {
     delete u;
 }
 
+// --------------------------------------------------------- UDP tx thread
+// Paced egress: drains the ring in fixed-size datagrams at a fixed
+// nanosecond cadence — the reference's timed sample sink / UDP audio
+// out role (udpclient.cpp; limesdr sink burst pacing), GIL-free.
+struct QrlUdpTx {
+    int fd;
+    QrlRing* ring;
+    std::thread* th;
+    std::atomic<bool> stop;
+    std::atomic<uint64_t> datagrams;
+    std::atomic<uint64_t> starved;   // pacing ticks with no full chunk
+    uint64_t chunk;
+    uint64_t ns_per_chunk;
+};
+
+static void qrl_udp_tx_loop(QrlUdpTx* u) {
+    uint8_t buf[65536];
+    struct timespec next;
+    clock_gettime(CLOCK_MONOTONIC, &next);
+    while (!u->stop.load(std::memory_order_relaxed)) {
+        next.tv_nsec += (long)u->ns_per_chunk;
+        while (next.tv_nsec >= 1000000000L) {
+            next.tv_nsec -= 1000000000L;
+            next.tv_sec += 1;
+        }
+        if (qrl_ring_readable(u->ring) >= u->chunk) {
+            uint64_t n = qrl_ring_read(u->ring, buf, u->chunk);
+            (void)send(u->fd, buf, n, 0);
+            u->datagrams.fetch_add(1, std::memory_order_relaxed);
+        } else {
+            u->starved.fetch_add(1, std::memory_order_relaxed);
+        }
+        clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &next, nullptr);
+    }
+}
+
+// connects to host:port and paces chunk-sized datagrams from the ring
+// every ns_per_chunk nanoseconds; returns NULL on failure.
+QrlUdpTx* qrl_udp_tx_start(const char* host, int port, QrlRing* ring,
+                           uint64_t chunk_bytes, uint64_t ns_per_chunk) {
+    if (chunk_bytes == 0 || chunk_bytes > 65536) return nullptr;
+    int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return nullptr;
+    sockaddr_in addr {};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    inet_pton(AF_INET, host, &addr.sin_addr);
+    if (connect(fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+        close(fd);
+        return nullptr;
+    }
+    QrlUdpTx* u = new QrlUdpTx();
+    u->fd = fd;
+    u->ring = ring;
+    u->stop.store(false);
+    u->datagrams.store(0);
+    u->starved.store(0);
+    u->chunk = chunk_bytes;
+    u->ns_per_chunk = ns_per_chunk;
+    u->th = new std::thread(qrl_udp_tx_loop, u);
+    return u;
+}
+
+uint64_t qrl_udp_tx_datagrams(QrlUdpTx* u) { return u->datagrams.load(); }
+uint64_t qrl_udp_tx_starved(QrlUdpTx* u) { return u->starved.load(); }
+
+void qrl_udp_tx_stop(QrlUdpTx* u) {
+    if (!u) return;
+    u->stop.store(true);
+    u->th->join();
+    delete u->th;
+    close(u->fd);
+    delete u;
+}
+
 }  // extern "C"

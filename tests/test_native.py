@@ -97,3 +97,40 @@ def test_udp_rx_engine():
     assert bytes(got) == payload * 10
     eng.close()
     tx.close()
+
+
+def test_udp_tx_engine_paced_egress():
+    """Native paced UDP sender: chunks written to the ring arrive as
+    datagrams at the configured cadence (the timed-egress role of the
+    reference's UDP audio/sample sinks)."""
+    import socket
+    import time
+    from qradiolink_tpu.io.native import UdpTxEngine, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+
+    chunk = 512
+    tx = UdpTxEngine("127.0.0.1", port, chunk_bytes=chunk,
+                     ns_per_chunk=2_000_000)  # 500 datagrams/s
+    try:
+        payload = bytes(range(256)) * 2  # 512 bytes
+        for _ in range(10):
+            assert tx.write(payload) == chunk
+        got = []
+        t0 = time.time()
+        while len(got) < 10 and time.time() - t0 < 2.0:
+            got.append(rx.recvfrom(65536)[0])
+        assert len(got) == 10
+        assert all(g == payload for g in got)
+        assert tx.datagrams >= 10
+        # 10 datagrams at 2 ms cadence should take >= ~16 ms (paced,
+        # not a burst); allow slack for scheduler jitter
+        assert time.time() - t0 >= 0.014
+    finally:
+        tx.close()
+        rx.close()

@@ -72,3 +72,32 @@ def test_registry_has_all_freedv_variants():
     for m in ("1600", "700C", "700D", "800XA"):
         for sb in ("USB", "LSB"):
             assert f"FreeDV{m}{sb}" in MODES
+
+
+def test_modem_loopback_2400a():
+    """FreeDV 2400A (the r5 registry addition): vocoder+modem loopback
+    through libcodec2 (reference ModemTypeFREEDV2400AUSB/LSB)."""
+    from qradiolink_tpu.audio.freedv import FreeDV
+    fd_tx, fd_rx = FreeDV("2400A"), FreeDV("2400A")
+    speech = _utterance()
+    out = fd_rx.rx(fd_tx.tx(speech))
+    assert fd_rx.sync
+    assert out.size > 0
+    fd_tx.close(), fd_rx.close()
+
+
+@pytest.mark.parametrize("usb", [True, False])
+def test_freedv_2400a_rf_loopback(usb):
+    """Full path for the 2400A registry entries: utterance -> FreeDvTx
+    (2400A vocoder + wideband SSB chain) -> clean channel -> FreeDvRx."""
+    from qradiolink_tpu.chains.freedv import FreeDvTx, FreeDvRx
+    import numpy as np
+
+    tx = FreeDvTx("2400A", usb=usb, filter_width=4000.0)
+    rx = FreeDvRx("2400A", usb=usb, filter_width=4000.0)
+    speech = _utterance(8000 * 3).astype(np.float32) / 32768.0
+    iq = tx.process(speech)
+    assert iq.size > 0
+    out = rx.process(np.asarray(iq))
+    assert out.size > 0
+    assert np.mean(out.astype(np.float64) ** 2) > 1e-4

@@ -140,9 +140,20 @@ def cmd_headless(args):
         pump = NetPump(dev, s.tx_mode if s.tx_mode in
                        ("QPSK250K", "4FSK100K") else "QPSK250K")
         ctl.attach_net(pump)
+    if args.mmdvm:
+        # reference --mmdvm: headless MMDVM service with TRX and PTT on
+        # (main.cpp:100-107); MMDVM modes unless explicitly overridden
+        if not args.rx_mode:
+            s.rx_mode = "MMDVM"
+        if not args.tx_mode:
+            s.tx_mode = "MMDVM"
+        args.start_trx = True
+        args.ptt = True
     if args.start_trx:
         ctl.toggle_rx_mode(s.rx_mode)
         ctl.toggle_tx_mode(s.tx_mode)
+        if args.ptt:
+            ctl.start_transmission()
     block = _lcm_block(s.rx_mode, s.rx_sample_rate)
     src = UdpIqSource(args.udp_port, block, timeout=0.5) \
         if args.udp else None
@@ -266,6 +277,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="run as a service: UDP IQ + telnet control")
     h.add_argument("--rx-mode", default=None, choices=sorted(MODES))
     h.add_argument("--tx-mode", default=None, choices=sorted(MODES))
+    h.add_argument("--ptt", action="store_true",
+                   help="engage PTT at startup (reference --headless "
+                        "--start-trx --ptt, main.cpp:87-93)")
+    h.add_argument("--mmdvm", action="store_true",
+                   help="MMDVM service shorthand: implies --start-trx "
+                        "and --ptt with the MMDVM modes (reference "
+                        "--mmdvm, main.cpp:100-107)")
     h.add_argument("--start-trx", action="store_true",
                    help="initialize RX+TX at startup (reference --start-trx)")
     h.add_argument("--udp", action="store_true",

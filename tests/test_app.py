@@ -512,3 +512,15 @@ def test_end_beep(monkeypatch):
     # sound 0 explicitly: the reference's silence block
     z = ctl2.send_tx_beep(0)
     assert z.size == 8192 + 1280 and np.all(z == 0.0)
+
+
+def test_headless_reference_flag_parity():
+    """The reference's service flags (--start-trx --ptt --mmdvm,
+    main.cpp:83-107) parse on the headless subcommand."""
+    from qradiolink_tpu.app.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["headless", "--start-trx", "--ptt"])
+    assert a.start_trx and a.ptt and not a.mmdvm
+    a = p.parse_args(["headless", "--mmdvm"])
+    assert a.mmdvm

@@ -217,3 +217,19 @@ def test_stream_kernel_extra_shift_polyphase(pallas_interp, rng):
                     jax.tree_util.tree_leaves(st_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_depthwise_plan_caps_output_vmem(pallas_interp):
+    """Multi-megasample inputs must not plan a VMEM-resident output
+    block beyond budget (r5 regression: the M=64 synthesizer at 1.2M
+    rows crashed the compiler before the cap; the remainder is computed
+    by the caller)."""
+    p = pf.depthwise_plan(128, 1_200_000, 24, 2)
+    assert p is not None
+    TT, LS, CT, n_c, n_t = p
+    fixed = (2 * 2 * CT * LS + CT * 24) * 4
+    out_bytes = 2 * CT * n_t * TT * 4
+    assert fixed + out_bytes <= pf._VMEM_BUDGET
+    # and small shapes still serve everything
+    p2 = pf.depthwise_plan(64, 25_024, 24, 2)
+    assert p2 is not None and p2[4] * p2[0] <= 25_000

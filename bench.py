@@ -231,7 +231,12 @@ def main():
     counts = (128, 256, 512, 1024, 2048) if platform == "tpu" else (4,)
     best = None
     for n_ch in counts:
-        msps_scan, dt_scan = bench_4fsk(platform, n_ch, t)
+        try:
+            msps_scan, dt_scan = bench_4fsk(platform, n_ch, t)
+        except Exception as e:  # one config must never sink the headline
+            print(json.dumps({"metric": f"4FSK_2K chain {n_ch}ch FAILED",
+                              "error": str(e)[:200]}), flush=True)
+            continue
         print(json.dumps({
             "metric": f"4FSK_2K chain {n_ch}ch@1Msps scan-in-jit "
                       "(device-true)",

@@ -230,6 +230,7 @@ def main():
     # channel-count scan, headline = best config
     counts = (128, 256, 512, 1024, 2048) if platform == "tpu" else (4,)
     best = None
+    first = None
     for n_ch in counts:
         try:
             msps_scan, dt_scan = bench_4fsk(platform, n_ch, t)
@@ -245,6 +246,17 @@ def main():
             "vs_baseline": round(msps_scan / n_ch, 2)}), flush=True)
         if best is None or msps_scan > best[0]:
             best = (msps_scan, n_ch)
+        if first is None:
+            first = (msps_scan, n_ch)
+
+    # the scan trades per-channel real-time margin for aggregate
+    # throughput; surface the margin end of the curve explicitly
+    if first is not None:
+        print(json.dumps({
+            "metric": "peak per-channel real-time margin "
+                      f"({first[1]} ch config)",
+            "value": round(first[0] / first[1], 2), "unit": "x real-time "
+            "per carried 1 Msps channel"}), flush=True)
 
     # which stages the headline chain serves from the Pallas kernels at
     # the winning shape (trace-time decisions; no silent fallbacks)

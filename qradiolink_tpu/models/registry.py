@@ -48,13 +48,13 @@ MODES = {
                   lambda **k: NbfmDemod(**{"filter_width": 2500.0, **k}),
                   lambda **k: NbfmMod(**{"filter_width": 2500.0, **k}), step=6250),
     "WBFM": _spec("WBFM", "analog", lambda **k: WbfmDemod(**k), None,
-                  step=100000),
+                  step=200000),
     "AM": _spec("AM", "analog", lambda **k: AmDemod(**k),
-                lambda **k: AmMod(**k), step=5000),
+                lambda **k: AmMod(**k), step=10000),
     "USB": _spec("USB", "analog", lambda **k: SsbDemod(usb=True, **k),
-                 lambda **k: SsbMod(usb=True, **k), step=1000),
+                 lambda **k: SsbMod(usb=True, **k), step=2500),
     "LSB": _spec("LSB", "analog", lambda **k: SsbDemod(usb=False, **k),
-                 lambda **k: SsbMod(usb=False, **k), step=1000),
+                 lambda **k: SsbMod(usb=False, **k), step=2500),
     "BPSK2K": _spec("BPSK2K", "digital_voice",
                     lambda **k: BpskDemod(symbol_rate=2000, **k),
                     lambda **k: BpskMod(symbol_rate=2000, **k),
@@ -62,22 +62,22 @@ MODES = {
     "BPSK1K": _spec("BPSK1K", "digital_voice",
                     lambda **k: BpskDemod(symbol_rate=1000, **k),
                     lambda **k: BpskMod(symbol_rate=1000, **k),
-                    framing="BPSK1K", bit_rate=1000),
+                    framing="BPSK1K", step=6250, bit_rate=1000),
     "QPSK2K": _spec("QPSK2K", "digital_voice",
                     lambda **k: QpskDemod(symbol_rate=1000,
                                           target_rate=40_000, **k),
                     lambda **k: QpskMod(symbol_rate=1000, **k),
-                    framing="QPSK2K", bit_rate=2000),
+                    framing="QPSK2K", step=6250, bit_rate=2000),
     "QPSK20K": _spec("QPSK20K", "digital_voice",
                      lambda **k: QpskDemod(symbol_rate=10_000,
                                            target_rate=40_000, **k),
                      lambda **k: QpskMod(symbol_rate=10_000, **k),
-                     framing="QPSK20K", bit_rate=20000),
+                     framing="QPSK20K", step=25000, bit_rate=20000),
     "QPSK250K": _spec("QPSK250K", "digital_data",
                       lambda **k: QpskDemod(symbol_rate=125_000,
                                             target_rate=500_000, **k),
                       lambda **k: QpskMod(symbol_rate=125_000, **k),
-                      framing="QPSK250K", bit_rate=250000),
+                      framing="QPSK250K", step=500000, bit_rate=250000),
     # video over DQPSK: the QPSK250K waveform with the 3122-byte video
     # frame budget (reference gr_modem.cpp:159-162, modem_types.h
     # ModemTypeQPSKVideo)
@@ -118,18 +118,18 @@ MODES = {
     "4FSK10KFM": _spec("4FSK10KFM", "digital_data",
                        lambda **k: Fsk4Demod(variant="10KFM", **k),
                        lambda **k: Fsk4Mod(variant="10KFM", **k),
-                       framing="4FSK10KFM", bit_rate=10000),
+                       framing="4FSK10KFM", step=50000, bit_rate=10000),
     "4FSK100K": _spec("4FSK100K", "digital_data",
                       lambda **k: Fsk4Demod(variant="96K", **k),
                       lambda **k: Fsk4Mod(variant="96K", **k),
-                      framing="4FSK100K", bit_rate=100000),
+                      framing="4FSK100K", step=500000, bit_rate=100000),
     "2FSK10K": _spec("2FSK10K", "digital_data",
                      lambda **k: Fsk2Demod(symbol_rate=20_000,
                                            filter_width=25000.0,
                                            target_rate=80_000, **k),
                      lambda **k: Fsk2Mod(symbol_rate=20_000,
                                          filter_width=25000.0, **k),
-                     framing="2FSK10KFM", bit_rate=20000),
+                     framing="2FSK10KFM", step=50000, bit_rate=20000),
     "2FSK2KFB": _spec("2FSK2KFB", "digital_voice",
                       lambda **k: Fsk2FbDemod(symbol_rate=2000,
                                               filter_width=4000.0, **k),
@@ -213,7 +213,7 @@ def _mmdvm_entries():
                             lambda num_channels=7, **k:
                             MmdvmMultiTx(**{"num_channels": num_channels,
                                             "pair": True, **k}),
-                            step=25000, bit_rate=9600),
+                            step=12500, bit_rate=9600),
     }
 
 

@@ -71,3 +71,47 @@ def test_new_mode_loopback(mode, nbytes, snr):
     if "bits_alt" in rout:
         ber = min(ber, best_ber(rout["bits_alt"], sent))
     assert ber < 0.02, f"{mode} loopback BER {ber}"
+
+
+REF_RC = pathlib.Path("/root/reference/src/radiocontroller.cpp")
+
+# reference OperationMode name -> our registry mode (the FM/FB naming
+# swap is documented at MODEM_TYPE_MAP)
+_OPMODE_ALIAS = {
+    "FM": "FM", "NBFM": "NBFM", "WBFM": "WBFM", "USB": "USB", "LSB": "LSB",
+    "AM": "AM", "BPSK2K": "BPSK2K", "BPSK1K": "BPSK1K", "QPSK2K": "QPSK2K",
+    "QPSK10K": "QPSK20K", "2FSK2KFM": "2FSK2K", "2FSK1KFM": "2FSK1K",
+    "2FSK2K": "2FSK2KFB", "2FSK1K": "2FSK1KFB", "2FSK10KFM": "2FSK10K",
+    "GMSK2K": "GMSK2K", "GMSK1K": "GMSK1K", "GMSK10K": "GMSK10K",
+    "4FSK2K": "4FSK2KFB", "4FSK2KFM": "4FSK2K", "4FSK1KFM": "4FSK1KFM",
+    "4FSK10KFM": "4FSK10KFM", "QPSK250K": "QPSK250K", "4FSK100K": "4FSK100K",
+    "MMDVM": "MMDVM", "MMDVMMulti": "MMDVMmulti", "M17": "M17", "DMR": "DMR",
+}
+
+
+@pytest.mark.skipif(not REF_RC.exists(), reason="reference tree not mounted")
+def test_scan_steps_match_reference_tables():
+    """Per-mode frequency-scan steps vs the reference RX mode table
+    (radiocontroller.cpp:2111-2360). Modes with no _scan_step_hz
+    assignment there (QPSKVideo — video is never scanned) are skipped."""
+    lines = REF_RC.read_text().splitlines()
+    steps = {}
+    cur = None
+    for ln in lines:
+        m = re.search(r"case OperationMode::Mode(\w+):", ln)
+        if m:
+            cur = m.group(1)
+            continue
+        s = re.search(r"_scan_step_hz\s*=\s*(\d+)", ln)
+        if s and cur and cur not in steps:
+            steps[cur] = int(s.group(1))
+    assert len(steps) >= 30, steps
+    bad = []
+    for ref_name, hz in sorted(steps.items()):
+        ours = _OPMODE_ALIAS.get(
+            ref_name, ref_name if ref_name.startswith("FreeDV") else None)
+        assert ours is not None, f"unmapped reference mode {ref_name}"
+        got = registry.MODES[ours].scan_step_hz
+        if got != hz:
+            bad.append((ref_name, ours, hz, got))
+    assert not bad, f"scan-step mismatches (ref, ours, ref_hz, our_hz): {bad}"

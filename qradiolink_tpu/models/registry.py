@@ -152,10 +152,12 @@ MODES = {
                      lambda **k: GmskMod(symbol_rate=20_000,
                                          filter_width=20000.0, **k),
                      framing="2FSK10KFM", step=50000, bit_rate=20000),
+    # reference ModemTypeBPSK8: 7-byte frames with the 8*8 bit buffer
+    # (gr_modem.cpp:219-222) — the BPSK2K frame shape, not BPSK1K's
     "BPSKDSSS8": _spec("BPSKDSSS8", "digital_voice",
                        lambda **k: DsssBpskDemod(**k),
                        lambda **k: DsssBpskMod(**k),
-                       framing="BPSK1K", bit_rate=8),
+                       framing="BPSK2K", bit_rate=8),
     "CW": _spec("CW", "analog", None, lambda **k: CwMod(**k), step=100),
     "M17": _spec("M17", "digital_voice",
                  lambda **k: M17Demod(**k), lambda **k: M17Mod(**k),

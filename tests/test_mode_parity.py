@@ -115,3 +115,51 @@ def test_scan_steps_match_reference_tables():
         if got != hz:
             bad.append((ref_name, ours, hz, got))
     assert not bad, f"scan-step mismatches (ref, ours, ref_hz, our_hz): {bad}"
+
+
+REF_MODEM = pathlib.Path("/root/reference/src/gr_modem.cpp")
+
+
+@pytest.mark.skipif(not REF_MODEM.exists(), reason="reference not mounted")
+def test_frame_lengths_match_reference_tables():
+    """Layer-1 frame lengths vs the reference's per-modem-type tables
+    (gr_modem.cpp toggleTxMode/toggleRxMode). M17 is asymmetric there by
+    design (TX builds 16-byte payload frames inside the M17 stack, RX
+    assembles 46-byte type-4 frames — our config carries the RX side);
+    DMR frames flow through the DMR stack, not layer 1."""
+    from qradiolink_tpu.framing.layer1 import MODE_FRAME_CONFIG
+
+    src = REF_MODEM.read_text()
+    tx = {}
+    for m in re.finditer(r"modem_type == gr_modem_types::(\w+)\)\s*\{\s*"
+                         r"_tx_frame_length = (\d+);", src):
+        tx.setdefault(m.group(1), int(m.group(2)))
+    rx = {}
+    for m in re.finditer(r"modem_type == gr_modem_types::(\w+)\)\s*\{\s*"
+                         r"(?:_bit_buf_len = [^;]+;\s*)?"
+                         r"_rx_frame_length = (\d+);", src):
+        rx.setdefault(m.group(1), int(m.group(2)))
+    assert len(tx) >= 20 and len(rx) >= 20
+    skip = {"ModemTypeDMR"}          # DMR stack, no layer-1 framing
+    tx_skip = {"ModemTypeM17"}       # 16-byte TX payloads inside the stack
+    bad = []
+    for mt, n in sorted(tx.items()):
+        if mt in skip or mt in tx_skip:
+            continue
+        mode = registry.MODEM_TYPE_MAP[mt]
+        key = registry.MODES[mode].framing
+        assert key is not None, (mt, mode)
+        if MODE_FRAME_CONFIG[key].frame_length != n:
+            bad.append(("tx", mt, mode, n,
+                        MODE_FRAME_CONFIG[key].frame_length))
+    for mt, n in sorted(rx.items()):
+        if mt in skip:
+            continue
+        mode = registry.MODEM_TYPE_MAP[mt]
+        key = registry.MODES[mode].framing
+        if key is None:
+            continue
+        if MODE_FRAME_CONFIG[key].frame_length != n:
+            bad.append(("rx", mt, mode, n,
+                        MODE_FRAME_CONFIG[key].frame_length))
+    assert not bad, f"frame-length mismatches: {bad}"

@@ -163,3 +163,34 @@ def test_frame_lengths_match_reference_tables():
             bad.append(("rx", mt, mode, n,
                         MODE_FRAME_CONFIG[key].frame_length))
     assert not bad, f"frame-length mismatches: {bad}"
+
+
+REF_L1 = pathlib.Path("/root/reference/src/layer1framing.h")
+
+
+@pytest.mark.skipif(not REF_L1.exists(), reason="reference not mounted")
+def test_frame_type_words_match_reference_header():
+    """FrameType sync/type words vs the reference enum
+    (layer1framing.h:8-24), matched by name."""
+    from qradiolink_tpu.framing.layer1 import FrameType
+
+    src = REF_L1.read_text()
+    ref = {m.group(1): int(m.group(2), 16) for m in re.finditer(
+        r"FrameType(\w+)\s*=\s*(0x[0-9A-Fa-f]+)", src)}
+    assert len(ref) >= 8, ref
+    name_map = {"None": "NONE", "Voice": "VOICE_2",  # legacy alias
+                "Voice1": "VOICE_1", "Voice2": "VOICE_2", "Text": "TEXT",
+                "IP": "IP", "Video": "VIDEO", "Sync": "SYNC",
+                "Callsign": "CALLSIGN", "Proto": "PROTO", "End": "END",
+                "M17Stream": "M17_STREAM", "M17LSF": "M17_LSF",
+                "M17EOT": "M17_EOT"}
+    bad = []
+    for rname, val in sorted(ref.items()):
+        ours = name_map.get(rname)
+        if ours is None or not hasattr(FrameType, ours):
+            bad.append(("missing", rname, hex(val)))
+            continue
+        got = int(getattr(FrameType, ours))
+        if got != val:
+            bad.append((rname, hex(val), hex(got)))
+    assert not bad, f"frame-type word mismatches: {bad}"

@@ -194,3 +194,25 @@ def test_frame_type_words_match_reference_header():
         if got != val:
             bad.append((rname, hex(val), hex(got)))
     assert not bad, f"frame-type word mismatches: {bad}"
+
+
+REF_BT = pathlib.Path("/root/reference/src/bursttimer.h")
+
+
+@pytest.mark.skipif(not REF_BT.exists(), reason="reference not mounted")
+def test_tdma_constants_match_reference_header():
+    """BurstTimer constants vs the reference header (bursttimer.h:26-32)."""
+    from qradiolink_tpu.framing import tdma
+
+    src = REF_BT.read_text()
+
+    def ref(name):
+        m = re.search(name + r"\s*=\s*(\d+)", src)
+        assert m, name
+        return int(m.group(1))
+
+    assert tdma.BURST_DELAY_NS == ref("BURST_DELAY")
+    assert tdma.SLOT_TIME_NS == ref("SLOT_TIME")
+    assert tdma.SAMPLES_PER_SLOT == ref("SAMPLES_PER_SLOT")
+    assert tdma.TIME_PER_SAMPLE_NS == ref("TIME_PER_SAMPLE")
+    assert tdma.MAX_MMDVM_CHANNELS == ref("MAX_MMDVM_CHANNELS")

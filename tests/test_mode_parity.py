@@ -215,4 +215,5 @@ def test_tdma_constants_match_reference_header():
     assert tdma.SLOT_TIME_NS == ref("SLOT_TIME")
     assert tdma.SAMPLES_PER_SLOT == ref("SAMPLES_PER_SLOT")
     assert tdma.TIME_PER_SAMPLE_NS == ref("TIME_PER_SAMPLE")
-    assert tdma.MAX_MMDVM_CHANNELS == ref("MAX_MMDVM_CHANNELS")
+    m = re.search(r"#define MAX_MMDVM_CHANNELS\s+(\d+)", src)
+    assert m and tdma.MAX_MMDVM_CHANNELS == int(m.group(1))

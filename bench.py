@@ -85,8 +85,12 @@ def bench_4fsk(platform, n_ch, t, emit=True):
         (rng.standard_normal((n_ch, t)) + 1j * rng.standard_normal((n_ch, t)))
         .astype(np.complex64) * 0.1)
 
+    # the axon tunnel costs ~20-30 ms per dispatch; the scan path exists
+    # precisely to amortize that, so give it enough steps per dispatch
+    # that the residual per-step share is small (25 steps => <~1 ms)
+    n_scan = 25 if platform == "tpu" else 2
     n_iter = 10 if platform == "tpu" else 2
-    dt_scan = _bench_step_scan(chain, state, iq, n_iter)
+    dt_scan = _bench_step_scan(chain, state, iq, n_scan)
     step = jax.jit(lambda s, x: chain(s, x))
     checksum = jax.jit(lambda o: jnp.sum(o["symbols"]).astype(jnp.float32))
     dt_host = _bench_step_host(step, checksum, state, iq, n_iter)
@@ -156,10 +160,16 @@ def bench_mixed64(platform):
 
     # device-true: state-carried steps iterated inside one jit (same
     # scan-in-jit methodology as the 4FSK headline lines). The axon
-    # compile helper crashes on the full mixed program under lax.scan
-    # (~8.7 MB MLIR module, no diagnostic), so fall back to host-loop
-    # minus the measured per-dispatch floor when that happens.
+    # tunnel costs ~20-30 ms PER DISPATCH, so the scan must carry
+    # enough steps that the residual per-step share is small — at
+    # n=50 the overhead contributes <0.5 ms/step (measured: 6.7 ms/step
+    # at n=5 vs 2.2 ms/step at n=50 for the identical program). The
+    # axon compile helper has been seen to crash on the full mixed
+    # program under lax.scan; fall back to host-loop minus the measured
+    # per-dispatch floor when that happens.
     from jax import lax
+
+    n_scan = 50 if platform == "tpu" else 1
 
     @jax.jit
     def scan_n(s, x):
@@ -167,7 +177,7 @@ def bench_mixed64(platform):
             st, outs = rx(c, x)
             return st, (jnp.sum(outs[0]["symbols"])
                         + jnp.sum(outs[1]["audio"])).astype(jnp.float32)
-        st, vs = lax.scan(body, s, None, length=n_iter)
+        st, vs = lax.scan(body, s, None, length=n_scan)
         return st, jnp.sum(vs)
 
     try:
@@ -176,7 +186,7 @@ def bench_mixed64(platform):
         t0 = time.perf_counter()
         st, v = scan_n(st, iq)
         _fence(v)
-        dt2 = (time.perf_counter() - t0) / n_iter
+        dt2 = (time.perf_counter() - t0) / n_scan
         method = "scan-in-jit"
     except Exception:
         # per-dispatch floor: a no-op jitted call in the same process

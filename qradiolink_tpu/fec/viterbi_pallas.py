@@ -133,9 +133,16 @@ def _kernel(ns, steps, keep_from, hi_bit, flip, s0_ref, s1_ref, tf_ref,
     lax.fori_loop(0, steps - keep_from, tb, s)
 
 
-def decode_windows(code, win: jax.Array, keep_from: int) -> jax.Array:
+def decode_windows(code, win: jax.Array, keep_from: int,
+                   min_rows: int = 256) -> jax.Array:
     """win: (R, S, 2) f32 soft windows (R tile-rows) -> bits (R, S) f32
-    (rows < keep_from undefined). Returns None if not servable."""
+    (rows < keep_from undefined). Returns None if not servable.
+
+    min_rows: refuse below this many tile rows (rows are padded to a
+    full 256-lane tile either way, so tiny-R launches waste lanes; the
+    default keeps the historical crossover, callers that know the
+    launch still beats the unrolled jnp path — e.g. TiledViterbi at
+    small block sizes — pass min_rows=1)."""
     if not available():
         return None
     from qradiolink_tpu.utils.profiling import pallas_paths
@@ -144,7 +151,7 @@ def decode_windows(code, win: jax.Array, keep_from: int) -> jax.Array:
         pallas_paths.record("tiled_viterbi", False, f"code n{code.n}")
         return None
     R, S, _ = win.shape
-    if R < 256 or S * 510.0 >= 2 ** 24:
+    if R < min_rows or S * 510.0 >= 2 ** 24:
         pallas_paths.record("tiled_viterbi", False, f"R{R} S{S}")
         return None
     pallas_paths.record("tiled_viterbi", True, f"R{R} S{S}")

@@ -233,3 +233,33 @@ def test_depthwise_plan_caps_output_vmem(pallas_interp):
     # and small shapes still serve everything
     p2 = pf.depthwise_plan(64, 25_024, 24, 2)
     assert p2 is not None and p2[4] * p2[0] <= 25_000
+
+
+def test_viterbi_pallas_small_rows_streamed(pallas_interp, rng):
+    """The mixed-config tail shape (32 ch x 200 pairs/step, streamed):
+    small row counts (R=32 < the old 256-row gate) must be served by
+    the kernel and stay bit-identical to the jnp path across streamed
+    blocks (verified on-chip 2026-08-21; this locks it in CI)."""
+    from qradiolink_tpu.fec import conv_ff
+    from qradiolink_tpu.fec.conv import CCSDS_K7
+    from qradiolink_tpu.fec.conv_ff import TiledViterbi
+
+    tv = TiledViterbi(CCSDS_K7, chunk=128, lead_shape=(32,))
+    blocks = [jnp.asarray(rng.integers(0, 256, (32, 200, 2))
+                          .astype(np.float32)) for _ in range(3)]
+
+    def stream(use_kernel):
+        orig = vp.available
+        if not use_kernel:
+            vp.available = lambda: False
+        try:
+            st = tv.init_state()
+            outs = []
+            for s in blocks:
+                st, bits = tv(st, s)
+                outs.append(np.asarray(bits))
+        finally:
+            vp.available = orig
+        return np.concatenate(outs, axis=-1)
+
+    np.testing.assert_array_equal(stream(True), stream(False))

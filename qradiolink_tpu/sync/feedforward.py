@@ -104,13 +104,17 @@ def vv_carrier_correct(x: jax.Array, order: int = 2, n_sub: int = 16):
     return x * rot.astype(jnp.complex64), ph
 
 
-def om_timing_estimate(x: jax.Array, sps: int, n_sub: int = 4) -> jax.Array:
-    """Oerder&Meyr: per-sub-block symbol-timing offset in samples [0, sps).
+def om_timing_bins(x: jax.Array, sps: int, n_sub: int = 4):
+    """Oerder&Meyr spectral bin per sub-block, as REAL (re, im) planes.
 
-    tau = -sps/(2*pi) * arg( sum_n |x[n]|^2 exp(-j 2 pi n / sps) ) — one
-    DFT bin evaluated as two REAL dot products against precomputed
+    bin_k = sum_n |x[n]|^2 exp(-j 2 pi n / sps) over sub-block k, with
+    the phase referenced to the BLOCK start (sub-block start offsets are
+    compensated), evaluated as two real dot products against precomputed
     cos/sin vectors (complex64 arithmetic costs multi-ms representation
-    shims on the axon TPU; see core.IqPair).
+    shims on the axon TPU; see core.IqPair). Because the reference is
+    the block start, bins from consecutive blocks whose lengths are
+    multiples of sps share one phase reference and may be summed —
+    which is what FeedforwardSymbolSync's streaming accumulator does.
     """
     t = x.shape[-1]
     lead = x.shape[:-1]
@@ -133,8 +137,21 @@ def om_timing_estimate(x: jax.Array, sps: int, n_sub: int = 4) -> jax.Array:
     si = p @ ws
     re = sr * w0c - si * w0s
     im = sr * w0s + si * w0c
-    tau = (-float(sps) / (2 * np.pi)) * jnp.arctan2(im, re)
-    return jnp.mod(tau, float(sps))  # (..., n_sub)
+    return re, im  # each (..., n_sub)
+
+
+def _bins_to_tau(re: jax.Array, im: jax.Array, sps: int) -> jax.Array:
+    return jnp.mod((-float(sps) / (2 * np.pi)) * jnp.arctan2(im, re),
+                   float(sps))
+
+
+def om_timing_estimate(x: jax.Array, sps: int, n_sub: int = 4) -> jax.Array:
+    """Oerder&Meyr: per-sub-block symbol-timing offset in samples [0, sps).
+
+    tau = -sps/(2*pi) * arg(bin_k); see om_timing_bins.
+    """
+    re, im = om_timing_bins(x, sps, n_sub)
+    return _bins_to_tau(re, im, sps)  # (..., n_sub)
 
 
 # cubic Lagrange Farrow branch filters over points [-1, 0, 1, 2]:
@@ -194,7 +211,36 @@ class FeedforwardSymbolSync(Block):
     previous block's 4-sample tail so outputs are continuous; unlike the
     feedback SymbolSync there is no loop state to converge — acquisition
     is instant, which is also why this is the high-rate path.
+
+    Streaming continuity (two carried mechanisms, both zero-cost):
+
+    * a decayed sum of previous blocks' O&M spectral bins — each
+      sub-block's timing is arg(bin_k + acc), so short blocks (few
+      symbols per sub-block) can't flip the integer symbol offset from
+      estimator self-noise alone. Valid because bins are
+      phase-referenced to the block start and block lengths are
+      multiples of sps, so consecutive blocks share one phase
+      reference.
+    * an EXTENDED pick (frames 2*sps wide, one symbol of carried
+      history) with a one-time per-channel center: the circular offset
+      estimate is applied as its representative nearest the carried
+      center, so jitter around the mod-sps boundary cannot flip the
+      pick by a whole symbol. Without this, a channel whose true
+      timing lands near the application boundary duplicates/drops a
+      symbol at block seams however stable the estimate is — measured
+      at ~5% BER on a CLEAN channel when a 2 ksym/s chain was streamed
+      in 200-symbol blocks. The sampling instant itself is unchanged
+      (always the O&M optimum mod sps); only the cut point of the
+      circle->interval map moves, at worst delaying every output by
+      one symbol.
+
+    `window` mode reads neither (block-partition invariance for
+    parallel/sharding.time_sharded_chain requires window-local,
+    stateless estimates).
     """
+
+    #: accumulator decay per block: effective memory ~1/(1-decay) blocks
+    ACC_DECAY = 0.75
 
     def __init__(self, sps: int, n_sub: int = 4, lead_shape: tuple = (),
                  window: int | None = None):
@@ -212,48 +258,102 @@ class FeedforwardSymbolSync(Block):
         self.tail_len = 4
 
     def init_state(self):
-        # f32 (re, im) tail planes (see core.IqPair for the complex64 tax)
-        return jnp.zeros(self.lead_shape + (2, self.tail_len), jnp.float32)
+        # f32 (re, im) tail planes (see core.IqPair for the complex64
+        # tax; sps extra history so the streaming pick can reach one
+        # symbol into the past) + [bin_re, bin_im, center, have]: the
+        # streaming O&M bin accumulator and the one-time pick center
+        return (jnp.zeros(self.lead_shape + (2, self.tail_len + self.sps),
+                          jnp.float32),
+                jnp.zeros(self.lead_shape + (4,), jnp.float32))
 
     def __call__(self, state, x):
         sps = self.sps
-        if self.window is not None:
-            if x.shape[-1] % self.window != 0:
-                raise ValueError(
-                    f"block {x.shape[-1]} not a multiple of window "
-                    f"{self.window}")
-            s = x.shape[-1] // self.window
-        else:
-            s = self.n_sub
-        if jnp.iscomplexobj(x):
-            tail_x = jax.lax.complex(state[..., 0, :], state[..., 1, :])
-        else:
-            tail_x = state[..., 0, :].astype(x.dtype)
-        xc = jnp.concatenate([tail_x, x], axis=-1)
+        tail, acc = state
         t = x.shape[-1]
         lead = x.shape[:-1]
-        assert t % (s * sps) == 0, "block must divide into n_sub*sps"
-        tau = om_timing_estimate(x, sps, n_sub=s)      # (..., s)
-        # farrow_delay output is y[n] = x(n - 3 + mu) (4-sample history
-        # tail, interpolation centered one past the window start), so the
-        # pick offset compensates with +3 before wrapping into [0, sps)
-        tau = jnp.mod(tau + 3.0, float(sps))
-        tau_i = jnp.floor(tau)
-        mu = tau - tau_i                                # fractional part
-        # per-sample mu: constant within each sub-block
-        ls = t // s
-        mu_t = jnp.repeat(mu, ls, axis=-1, total_repeat_length=t)
-        y = farrow_delay(xc, jnp.concatenate(
-            [mu_t, mu_t[..., -3:]], axis=-1))           # (..., t+1)
-        y = y[..., :t]
-        ysub = y.reshape(lead + (s, ls))
-        syms = symbol_pick(ysub, tau_i, sps)            # (..., s, ls/sps)
-        syms = syms.reshape(lead + (t // sps,))
-        new_tail = xc[..., xc.shape[-1] - self.tail_len:]
+        if jnp.iscomplexobj(x):
+            tail_x = jax.lax.complex(tail[..., 0, :], tail[..., 1, :])
+        else:
+            tail_x = tail[..., 0, :].astype(x.dtype)
+        xc = jnp.concatenate([tail_x, x], axis=-1)  # (..., t + sps + 4)
+        if self.window is not None:
+            if t % self.window != 0:
+                raise ValueError(
+                    f"block {t} not a multiple of window {self.window}")
+            s = t // self.window
+            assert t % (s * sps) == 0, "block must divide into n_sub*sps"
+            # stateless window-local path (block-partition invariance):
+            # 4-sample history, plain [0, sps) pick
+            tau = om_timing_estimate(x, sps, n_sub=s)   # (..., s)
+            # farrow_delay output is y[n] = x(n - 3 + mu) (4-sample
+            # history, interpolation centered one past the window
+            # start), so the pick offset compensates with +3
+            tau = jnp.mod(tau + 3.0, float(sps))
+            tau_i = jnp.floor(tau)
+            mu = tau - tau_i
+            ls = t // s
+            mu_t = jnp.repeat(mu, ls, axis=-1, total_repeat_length=t)
+            y = farrow_delay(xc[..., sps:], jnp.concatenate(
+                [mu_t, mu_t[..., -3:]], axis=-1))       # (..., t+1)
+            y = y[..., :t]
+            ysub = y.reshape(lead + (s, ls))
+            syms = symbol_pick(ysub, tau_i, sps)        # (..., s, ls/sps)
+            syms = syms.reshape(lead + (t // sps,))
+            new_acc = acc
+        else:
+            s = self.n_sub
+            assert t % (s * sps) == 0, "block must divide into n_sub*sps"
+            bre, bim = om_timing_bins(x, sps, n_sub=s)  # (..., s)
+            sre = bre + acc[..., 0:1]
+            sim = bim + acc[..., 1:2]
+            tau = _bins_to_tau(sre, sim, sps)
+            tau = jnp.mod(tau + 3.0, float(sps))        # applied offset
+            # one-time per-channel pick center in [sps/2, 3*sps/2):
+            # the circular offset is mapped to its representative
+            # nearest the center, so estimate jitter around the mod-sps
+            # boundary can never flip the pick by a whole symbol
+            pool = _bins_to_tau(jnp.sum(sre, axis=-1),
+                                jnp.sum(sim, axis=-1), sps)
+            pool = jnp.mod(pool + 3.0, float(sps))
+            c_new = pool + jnp.where(pool < sps / 2.0, float(sps), 0.0)
+            center = jnp.where(acc[..., 3] > 0.5, acc[..., 2], c_new)
+            k = jnp.round((center[..., None] - tau) / sps)
+            o = jnp.clip(tau + k * float(sps), 0.0, 2.0 * sps - 1e-3)
+            o_i = jnp.floor(o)                          # [0, 2*sps)
+            mu = o - o_i
+            ls = t // s
+            mu_t = jnp.repeat(mu, ls, axis=-1, total_repeat_length=t)
+            # y[j] = x(j - sps - 3 + mu_j), j in [0, t + sps): one
+            # symbol of reach into the previous block
+            mu_ext = jnp.concatenate(
+                [jnp.repeat(mu[..., :1], sps, axis=-1,
+                            total_repeat_length=sps),
+                 mu_t, mu_t[..., -1:]], axis=-1)        # (..., t+sps+1)
+            y = farrow_delay(xc, mu_ext)[..., : t + sps]
+            # extended frames: 2*sps wide at sps stride, so the pick
+            # window straddles the frame boundary
+            ns = t // sps
+            yf = y.reshape(lead + (ns + 1, sps))
+            ext = jnp.concatenate([yf[..., :-1, :], yf[..., 1:, :]],
+                                  axis=-1)              # (..., ns, 2sps)
+            ext = ext.reshape(lead + (s, ns // s, 2 * sps))
+            oh = (o_i[..., None] ==
+                  jnp.arange(2 * sps, dtype=o_i.dtype)
+                  ).astype(ext.real.dtype)
+            syms = jnp.sum(ext * oh[..., None, :], axis=-1)
+            syms = syms.reshape(lead + (ns,))
+            new_acc = jnp.concatenate([
+                self.ACC_DECAY * (
+                    acc[..., :2]
+                    + jnp.stack([jnp.sum(bre, axis=-1),
+                                 jnp.sum(bim, axis=-1)], axis=-1)),
+                center[..., None], jnp.ones(lead + (1,), jnp.float32)],
+                axis=-1)
+        new_tail = xc[..., xc.shape[-1] - (self.tail_len + sps):]
         if jnp.iscomplexobj(new_tail):
-            new_state = jnp.stack([new_tail.real, new_tail.imag], axis=-2)
+            new_tail = jnp.stack([new_tail.real, new_tail.imag], axis=-2)
         else:
             new_tail = new_tail.astype(jnp.float32)
-            new_state = jnp.stack([new_tail, jnp.zeros_like(new_tail)],
-                                  axis=-2)
-        return new_state, syms
+            new_tail = jnp.stack([new_tail, jnp.zeros_like(new_tail)],
+                                 axis=-2)
+        return (new_tail, new_acc), syms

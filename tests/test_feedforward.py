@@ -118,3 +118,52 @@ def test_ff_symbol_sync_streaming_blocks():
     a = np.sign(np.asarray(full).real[32:-32])
     b = np.sign(chunked.real[32:-32])
     assert np.mean(a == b) > 0.98
+
+
+def test_ff_symbol_sync_acc_seam_continuity():
+    """Streaming in short blocks must not flip the integer symbol
+    offset at block seams (a flip duplicates/drops a symbol mid-stream:
+    measured ~5% BER on a CLEAN channel pre-fix). A constant ONE-symbol
+    global offset is legitimate (timing near the wrap boundary is
+    ±sps-ambiguous); what must hold is that a SINGLE global alignment
+    fits the sent bits exactly — no mid-stream slips. The O&M bin
+    accumulator carried in state pins the estimate across seams; with
+    it disabled (ACC_DECAY=0 == the old stateless behavior) at least
+    one near-wrap delay slips mid-stream."""
+    rng = np.random.default_rng(11)
+    sps = 8
+
+    def steady_errors(decay, d):
+        bits, x = make_shaped_bpsk(rng, 1024, sps)
+        x = np.concatenate([np.zeros(d, np.complex64),
+                            x[:-d if d else None]])
+        ss = FeedforwardSymbolSync(sps, n_sub=4)
+        old = FeedforwardSymbolSync.ACC_DECAY
+        FeedforwardSymbolSync.ACC_DECAY = decay
+        try:
+            st = ss.init_state()
+            outs = []
+            for part in np.split(x, 16):
+                st, o = ss(st, jnp.asarray(part))
+                outs.append(np.asarray(o))
+        finally:
+            FeedforwardSymbolSync.ACC_DECAY = old
+        dec = (np.concatenate(outs).real > 0).astype(np.uint8)
+        sent = np.asarray(bits, np.uint8)
+        # one global alignment (and polarity) must fit steady state
+        lo, hi = 64, len(sent) - 64
+        best = 1.0
+        for off in range(-4, 5):
+            seg = dec[lo + off: hi + off]
+            e = np.mean(seg != sent[lo:hi])
+            best = min(best, float(min(e, 1.0 - e)))
+        return best
+
+    delays = range(0, sps)
+    fixed = [steady_errors(FeedforwardSymbolSync.ACC_DECAY, d)
+             for d in delays]
+    assert max(fixed) == 0.0, fixed
+    legacy = [steady_errors(0.0, d) for d in delays]
+    assert max(legacy) > 0.0, ("seam slips no longer reproduce with the "
+                               "accumulator off; tighten the scenario",
+                               legacy)
